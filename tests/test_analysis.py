@@ -1,0 +1,127 @@
+"""Offline analysis tests: dumps, correlation, delays, TDOA localization."""
+
+import numpy as np
+import pytest
+
+from vlite_fast_tpu.analysis import baseband as bb
+from vlite_fast_tpu.analysis import localization as loc
+from vlite_fast_tpu.utils import vdif
+
+
+RATE = 1_000_000
+
+
+def make_dump(delay_samples=0, seed=0, nsec=1, station=1, t0=100.0,
+              common=None):
+    rng = np.random.default_rng(seed)
+    n = RATE * nsec
+    if common is None:
+        common = rng.standard_normal(n + 1000).astype(np.float32)
+    noise = 0.3 * rng.standard_normal((2, n)).astype(np.float32)
+    x = np.stack([common[delay_samples:delay_samples + n]] * 2) + noise
+    u = np.clip(x / 0.05914 + 128.5, 0, 255).astype(np.uint8)
+    return bb.VoltageDump(samples=u, start_time=t0, station_id=station,
+                          sample_rate=RATE), common
+
+
+def test_voltage_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    nsamp = 5000 * 20
+    samples = rng.integers(1, 255, (2, nsamp), dtype=np.uint8)
+    stream = vdif.streams_to_frames(samples, ref_epoch=40, start_second=7,
+                                    station_id=4, sample_rate=RATE)
+    p = tmp_path / "dump.vdif"
+    stream.tofile(p)
+    d = bb.VoltageDump.from_file(str(p), sample_rate=RATE)
+    np.testing.assert_array_equal(d.samples, samples)
+    assert d.station_id == 4
+
+
+def test_re_order():
+    a, _ = make_dump(t0=100.0, seed=1)
+    b, _ = make_dump(t0=100.25, seed=2)
+    out = bb.re_order([a, b])
+    assert out[0].start_time == out[1].start_time == 100.25
+    assert out[0].nsamp == out[1].nsamp
+    assert out[0].nsamp == int(0.75 * RATE)
+
+
+def test_filterbank_tone():
+    # a strong tone should appear in the right channel
+    n = RATE // 2
+    t = np.arange(n)
+    tone = 2.0 * np.cos(2 * np.pi * 0.21 * t).astype(np.float32)
+    rng = np.random.default_rng(3)
+    x = tone + rng.standard_normal((2, n)).astype(np.float32)
+    u = np.clip(x / 0.05914 + 128.5, 0, 255).astype(np.uint8)
+    d = bb.VoltageDump(samples=u, start_time=0.0, station_id=1,
+                       sample_rate=RATE)
+    p = bb.filterbank(d, nfft=500)
+    chan = int(round(0.21 * 500))
+    prof = p.mean(axis=0)
+    assert np.argmax(prof) == chan
+
+
+def test_correlation_and_delay():
+    common = None
+    a, common = make_dump(delay_samples=0, seed=4, common=common)
+    b, _ = make_dump(delay_samples=7, seed=5, common=common, station=2)
+    delay, snr = bb.baseline_delay(a, b, nfft=500)
+    # b's stream is the common signal advanced by 7 samples
+    assert abs(abs(delay) - 7 / RATE) < 1.5 / RATE
+    assert snr > 10
+
+
+def test_correlation_matrix_autos():
+    a, c = make_dump(seed=6)
+    b, _ = make_dump(seed=7, common=c, station=2)
+    m = bb.correlation_matrix([a, b], nfft=500)
+    assert m.shape[0] == m.shape[1] == 2
+    # autos are real-positive; cross has high coherence
+    assert np.all(np.abs(np.imag(m[0, 0])) < 1e-3 * np.abs(m[0, 0]).max())
+    coh = np.abs(m[0, 1]).sum() / np.sqrt(
+        np.abs(m[0, 0]).sum() * np.abs(m[1, 1]).sum())
+    assert coh > 0.5
+
+
+def test_tdoa_recovers_direction():
+    rng = np.random.default_rng(8)
+    nant = 6
+    positions = rng.uniform(-1000, 1000, (nant, 3))
+    positions[:, 2] = 0.0
+    pairs = [(i, j) for i in range(nant) for j in range(i + 1, nant)]
+    az_true, el_true = 1.1, 0.7
+    s = loc.direction_unit(np.array(az_true), np.array(el_true))
+    delays = loc.expected_delays(positions, pairs, s)
+    delays = delays + rng.normal(0, 5e-9, delays.shape)
+    fit = loc.fit_tdoa(positions, pairs, delays, sigma=10e-9)
+    assert abs(fit.az - az_true) < 0.05
+    assert abs(fit.el - el_true) < 0.05
+
+
+def test_tdoa_clock_offsets():
+    rng = np.random.default_rng(9)
+    positions = rng.uniform(-500, 500, (4, 3))
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    s = loc.direction_unit(np.array(0.3), np.array(1.0))
+    clocks = rng.normal(0, 1e-6, 4)
+    delays = loc.expected_delays(positions, pairs, s) + np.array(
+        [clocks[i] - clocks[j] for i, j in pairs])
+    fit = loc.fit_tdoa(positions, pairs, delays, sigma=10e-9,
+                       clock_offsets=clocks)
+    assert abs(fit.az - 0.3) < 0.1 and abs(fit.el - 1.0) < 0.1
+
+
+def test_refine_dm():
+    rng = np.random.default_rng(10)
+    ntime, nchan = 600, 64
+    fb = rng.standard_normal((ntime, nchan)).astype(np.float32)
+    freqs = 384.0 - np.arange(nchan) * (4.0 / nchan)
+    from vlite_fast_tpu.ops import dedisperse as dd
+    true_dm = 150.0
+    delays = dd.delay_table(np.array([true_dm]), freqs, 2e-3)[0]
+    for ch in range(nchan):
+        fb[100 + delays[ch], ch] += 4.0
+    dm_grid = np.linspace(50, 250, 41)
+    dm_best, snr = loc.refine_dm(fb, 2e-3, freqs, dm_grid)
+    assert abs(dm_best - true_dm) < 15.0

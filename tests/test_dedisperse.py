@@ -1,0 +1,122 @@
+"""Dedispersion engine tests vs the exact numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vlite_fast_tpu.config import SearchConfig
+from vlite_fast_tpu.ops import dedisperse as dd
+
+
+def make_fb(ntime=800, nchan=64, dm=150.0, t0=100, amp=5.0, seed=0,
+            tsamp=2e-3):
+    """Unit-variance noise + a dispersed pulse of per-channel amp."""
+    rng = np.random.default_rng(seed)
+    fb = rng.standard_normal((ntime, nchan)).astype(np.float32)
+    freqs = 384.0 - np.arange(nchan) * (4.0 / nchan)  # 4 MHz band
+    delays = dd.delay_table(np.array([dm]), freqs, tsamp)[0]
+    for ch in range(nchan):
+        t = t0 + delays[ch]
+        if t < ntime:
+            fb[t, ch] += amp
+    return fb, freqs, delays
+
+
+def test_delay_table_monotonic():
+    freqs = 384.0 - np.arange(16) * 4.0
+    d = dd.delay_table(np.array([10.0, 100.0]), freqs, 1e-3)
+    assert d[0, 0] == 0
+    assert np.all(np.diff(d[1]) >= 0)       # lower freq -> larger delay
+    assert np.all(d[1] >= d[0])
+
+
+def test_exact_plan_matches_oracle():
+    fb, freqs, _ = make_fb()
+    dms = dd.dm_grid(0, 300, 32)
+    # exact mode: nbatch = ndm -> no within-subband approximation
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=32)
+    ntime_out = fb.shape[0] - plan.max_delay
+    out = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out,
+                                   dm_chunk=8))
+    full = dd.delay_table(dms, freqs, 2e-3)
+    ref = dd.dedisperse_reference(fb, full, ntime_out)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_subband_approx_close():
+    fb, freqs, _ = make_fb()
+    dms = dd.dm_grid(0, 300, 64)
+    plan_x = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=64)
+    plan_a = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=16)
+    ntime_out = fb.shape[0] - max(plan_x.max_delay, plan_a.max_delay)
+    ox = np.asarray(dd.dedisperse(jnp.asarray(fb), plan_x, ntime_out,
+                                  dm_chunk=8))
+    oa = np.asarray(dd.dedisperse(jnp.asarray(fb), plan_a, ntime_out,
+                                  dm_chunk=8))
+    # approximate within-subband delays smear the peak by at most ~1 sample
+    # worth of per-channel misalignment; the peak must survive nearby
+    ix = np.unravel_index(np.argmax(ox), ox.shape)
+    ia = np.unravel_index(np.argmax(oa), oa.shape)
+    assert abs(ix[0] - ia[0]) <= 4 and abs(ix[1] - ia[1]) <= 2
+    assert oa.max() > 0.6 * ox.max()
+
+
+def test_pulse_peaks_at_true_dm():
+    dm_true = 150.0
+    fb, freqs, _ = make_fb(dm=dm_true, amp=3.0)
+    dms = dd.dm_grid(0, 300, 61)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=61)
+    ntime_out = fb.shape[0] - plan.max_delay
+    dmt = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out))
+    idm, it = np.unravel_index(np.argmax(dmt), dmt.shape)
+    assert abs(dms[idm] - dm_true) <= 10.0
+    assert abs(it - 100) <= 2
+
+
+def test_boxcar_snr_oracle():
+    rng = np.random.default_rng(1)
+    ndm, ntime, nchan_eff = 4, 256, 64.0
+    dmt = rng.standard_normal((ndm, ntime)).astype(np.float32) * np.sqrt(
+        nchan_eff)
+    # a width-8 square pulse on dm row 2
+    dmt[2, 100:108] += 4.0 * np.sqrt(nchan_eff)
+    snr = np.asarray(dd.boxcar_snr(jnp.asarray(dmt), nchan_eff,
+                                   widths=(1, 2, 4, 8, 16)))
+    assert snr.shape == (5, ndm, ntime)
+    # width-8 filter maximizes S/N at the pulse end (t=107)
+    iw, idm, it = np.unravel_index(np.argmax(snr), snr.shape)
+    assert (iw, idm) == (3, 2)
+    assert abs(it - 107) <= 1
+    # matched-filter S/N ~ amp * sqrt(w) = 4*sqrt(8) ~ 11
+    assert 8.0 < snr[3, 2, 107] < 15.0
+
+
+def test_find_candidates():
+    rng = np.random.default_rng(2)
+    dmt = rng.standard_normal((16, 512)).astype(np.float32) * 8.0
+    dmt[5, 200:204] += 10.0 * 8.0
+    snr = np.asarray(dd.boxcar_snr(jnp.asarray(dmt), 64.0,
+                                   widths=(1, 2, 4, 8)))
+    dms = dd.dm_grid(0, 150, 16)
+    cands = dd.find_candidates(snr, dms, 2e-3, thresh=6.0,
+                               widths=(1, 2, 4, 8))
+    assert len(cands) >= 1
+    top = cands[0]
+    assert top.dmi == 5
+    assert 195 <= top.peak_idx <= 208
+    assert top.snr > 10
+    # candidate line round-trip (heimdall-compatible fields)
+    c2 = dd.Candidate.from_line(top.to_line())
+    assert c2.dmi == top.dmi and abs(c2.snr - top.snr) < 0.01
+
+
+def test_zap_channels():
+    fb, freqs, _ = make_fb()
+    fb[:, 3] += 100.0  # hot channel
+    dms = dd.dm_grid(0, 300, 16)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=16,
+                        zap_ranges=((0, 8),))
+    assert plan.nchan_eff == fb.shape[1] - 8
+    ntime_out = fb.shape[0] - plan.max_delay
+    dmt = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out))
+    # zapped hot channel must not dominate
+    assert dmt.mean() < 10.0

@@ -1,0 +1,83 @@
+"""The minimum end-to-end slice (SURVEY.md section 7 step 2-4):
+synthetic dispersed baseband -> full DSP chain -> filterbank -> dedispersion
+search -> candidate at the injected DM.  Mirrors the reference's
+baseband_test harness (scripts/baseband_test:20) as a real unit test."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+from vlite_fast_tpu.models import baseband_dsp as dsp
+from vlite_fast_tpu.models import search as search_mod
+from vlite_fast_tpu.models import synthesis
+
+DM_TRUE = 300.0
+
+
+def make_filterbank(nbit=8, seconds=2):
+    cfg = PipelineConfig.tiny(nbit=nbit, sample_rate=1_000_000,
+                              freq_top_mhz=320.5, bandwidth_mhz=0.5)
+    synth = synthesis.SynthConfig(
+        tobs=float(seconds), dm=DM_TRUE, pulse_period=0.05, skip_period=16,
+        amp=0.4, seed=21, sample_rate=cfg.sample_rate,
+        freq_bot_mhz=320.0, bandwidth_mhz=0.5, buflen=250_000)
+    samples, info = synthesis.generate_baseband(synth)
+    state = dsp.init_state(cfg)
+    blocks = []
+    for s in range(seconds):
+        raw = samples[:, s * cfg.sample_rate:(s + 1) * cfg.sample_rate]
+        out, state = dsp.process_second(cfg, jnp.asarray(raw), state,
+                                        jnp.asarray(False))
+        blocks.append(np.asarray(out.packed_kur))
+    packed = np.concatenate(blocks, axis=0)
+    fb = search_mod.filterbank_from_packed(packed, cfg.nbit, cfg.nchanout)
+    return cfg, synth, info, fb
+
+
+@pytest.fixture(scope="module")
+def fb_setup():
+    return make_filterbank()
+
+
+def test_filterbank_statistics(fb_setup):
+    cfg, synth, info, fb = fb_setup
+    # normalized filterbank: mean ~0, std ~1 off-pulse
+    assert abs(np.median(fb)) < 0.2
+    assert 0.5 < fb.std() < 2.0
+
+
+def test_pulse_recovered_at_dm(fb_setup):
+    cfg, synth, info, fb = fb_setup
+    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                - 0.5) * cfg.chan_bw_mhz
+    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=121, gulp_samps=512,
+                        boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
+    eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
+                                      nsub=16, nbatch=121)
+    cands = eng.search_stream(fb)
+    assert len(cands) >= 1, "injected pulse not detected"
+    top = max(cands, key=lambda c: c.snr)
+    assert top.snr > scfg.snr_thresh
+    assert abs(top.dm - DM_TRUE) < 75.0, f"DM {top.dm} != {DM_TRUE}"
+    # pulse period 0.05*16 = 0.8 s -> top-of-band arrivals every 0.8 s
+    # (tsamp 2 ms -> every 400 samples)
+    assert (top.peak_idx % 400) < 30 or (top.peak_idx % 400) > 370
+
+
+def test_no_candidates_on_pure_noise():
+    cfg = PipelineConfig.tiny()
+    raw = synthesis.white_noise_uint8(cfg.sample_rate, seed=31)
+    state = dsp.init_state(cfg)
+    out, _ = dsp.process_second(cfg, jnp.asarray(raw), state,
+                                jnp.asarray(False))
+    fb = search_mod.filterbank_from_packed(np.asarray(out.packed_kur),
+                                           cfg.nbit, cfg.nchanout)
+    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                - 0.5) * cfg.chan_bw_mhz
+    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61, gulp_samps=256,
+                        boxcar_max=8, zap_ranges=(), snr_thresh=8.0)
+    eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
+                                      nsub=16, nbatch=61)
+    cands = eng.search_stream(fb)
+    assert len(cands) == 0

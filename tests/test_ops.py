@@ -1,0 +1,225 @@
+"""Golden-value unit tests for the DSP kernels vs numpy oracles
+(the test pyramid the reference lacks, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vlite_fast_tpu import constants as C
+from vlite_fast_tpu.ops import (channelize, injection, kurtosis, normalize,
+                                quantize, unpack)
+
+
+def test_convert_uint8():
+    u = jnp.asarray(np.array([0, 1, 128, 255], dtype=np.uint8))
+    f = np.asarray(unpack.convert_uint8(u))
+    # 0 is a gap-fill flag and stays 0 (ref pb_kernels.cu:28-31)
+    np.testing.assert_allclose(f, [0.0, 1 / 128 - 1, 0.0, 255 / 128 - 1],
+                               rtol=1e-6)
+
+
+def test_digitize_inverse():
+    x = np.linspace(-3, 3, 100).astype(np.float32)
+    u = np.asarray(unpack.digitize_uint8(jnp.asarray(x)))
+    back = (u.astype(np.float32) - 128.5 + 0.5) * 0.02957 * 2
+    assert np.abs(back - x).max() < 0.02957 * 2
+
+
+class TestKurtosis:
+    def _data(self, seed=0, npol=2, nwin=40, nkurto=50):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((npol, nwin * nkurto)).astype(np.float32)
+
+    def test_window_stats_oracle(self):
+        x = self._data()
+        p, k = kurtosis.window_stats(jnp.asarray(x), 50)
+        xw = x.reshape(2, -1, 50)
+        m2 = (xw ** 2).mean(-1)
+        m4 = (xw ** 4).mean(-1)
+        np.testing.assert_allclose(np.asarray(p), m2, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(k), m4 / m2 ** 2, rtol=1e-4)
+
+    def test_zero_window(self):
+        x = self._data()
+        x[0, :50] = 0.0
+        p, k = kurtosis.window_stats(jnp.asarray(x), 50)
+        assert p[0, 0] == 0.0 and k[0, 0] == 0.0
+        dag = kurtosis.dagostino_ts(k, 50)
+        assert np.asarray(dag)[0] == C.DAG_INF
+
+    def test_dagostino_gaussian_rate(self):
+        # For Gaussian data the TS is ~N(0,1); with |TS| and pol-max the
+        # 3-sigma flag rate should be small
+        x = self._data(seed=1, nwin=2000)
+        _, k = kurtosis.window_stats(jnp.asarray(x), 50)
+        dag = np.asarray(kurtosis.dagostino_ts(k, 50))
+        assert (dag > C.DAG_THRESH).mean() < 0.03
+
+    def test_rfi_flagged_and_masked(self):
+        x = self._data(seed=2, nwin=100)
+        # blast one window with impulsive RFI in pol 0
+        x[0, 500:550] += 20.0
+        res = kurtosis.rfi_excise(jnp.asarray(x), nkurto=50, nfft=250)
+        dag = np.asarray(res.dag)
+        assert dag[10] > C.DAG_THRESH            # window 10 flagged
+        m = np.asarray(res.masked)
+        assert np.all(m[:, 500:550] == 0.0)      # both pols zeroed
+        # weight of the affected FFT block (5 windows/block) drops by 1/5
+        wts = np.asarray(res.weights)
+        assert abs(wts[0, 2] - 0.8) < 1e-6
+        # unaffected blocks keep weight 1
+        assert wts[0, 0] == 1.0
+
+    def test_fake_mode(self):
+        x = self._data(seed=3)
+        masked, w = kurtosis.apply_mask(jnp.asarray(x), jnp.zeros(40), 50,
+                                        250, fake=True)
+        np.testing.assert_array_equal(np.asarray(masked), x)
+        assert np.all(np.asarray(w) == 1.0)
+
+
+class TestNormalize:
+    def test_ema_oracle(self):
+        rng = np.random.default_rng(0)
+        p = rng.chisquare(2, (2, 32, 16)).astype(np.float32)
+        bp0 = np.zeros((2, 16), np.float32)
+        out, bp = normalize.normalize_ema(jnp.asarray(p), jnp.asarray(bp0),
+                                          0.01)
+        # numpy oracle
+        bp_ref = p.mean(axis=1)
+        out_ref = np.empty_like(p)
+        for t in range(32):
+            bp_ref = 0.01 * p[:, t] + 0.99 * bp_ref
+            out_ref[:, t] = p[:, t] / bp_ref - 1
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bp), bp_ref, rtol=2e-4,
+                                   atol=1e-6)
+
+    def test_ema_weighted_clip_and_zero(self):
+        p = np.ones((1, 8, 4), np.float32)
+        w = np.ones((1, 8), np.float32)
+        w[0, 3] = 0.0            # dead spectrum
+        p[0, 5, :] = 100.0       # clipped spectrum (>11x bandpass of ~1)
+        # carry a pre-seeded bandpass of 1 so the spike can't inflate it
+        out, bp = normalize.normalize_ema_weighted(
+            jnp.asarray(p), jnp.asarray(w), jnp.ones((1, 4)), 0.1)
+        out = np.asarray(out)
+        assert np.all(out[0, 3] == 0.0)                 # w=0 -> 0
+        assert np.all(out[0, 5] == C.BP_CLIP_VALUE)     # clip -> 10
+        # the clipped spectrum never updates the bandpass
+        assert abs(float(np.asarray(bp)[0, 0]) - 1.0) < 1e-5
+        # good unit-power spectra normalize to ~0
+        assert np.all(np.abs(out[0, 7]) < 1e-4)
+
+    def test_pscrunch(self):
+        x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        out = np.asarray(normalize.pscrunch(jnp.asarray(x)))
+        np.testing.assert_allclose(out[0], (x[0] + x[1]) * np.sqrt(0.5),
+                                   rtol=1e-6)
+
+    def test_pscrunch_weights_cases(self):
+        x = np.ones((2, 3, 2), np.float32)
+        x[1] *= 3.0
+        w = np.array([[1.0, 1.0, 0.1], [1.0, 0.1, 0.1]], np.float32)
+        out, wc = normalize.pscrunch_weights(jnp.asarray(x), jnp.asarray(w))
+        out, wc = np.asarray(out), np.asarray(wc)
+        np.testing.assert_allclose(out[0, 0], 4 * np.sqrt(0.5), rtol=1e-6)
+        np.testing.assert_allclose(out[0, 1], 1.0)   # only pol0 good
+        np.testing.assert_allclose(out[0, 2], 0.0)   # none good
+        np.testing.assert_allclose(wc[0], [1.0, 1.0, 0.0])
+
+    def test_tscrunch(self):
+        x = np.arange(16, dtype=np.float32).reshape(1, 8, 2)
+        out = np.asarray(normalize.tscrunch(jnp.asarray(x), 4))
+        ref = x.reshape(1, 2, 4, 2).sum(2) / 2.0
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    def test_tscrunch_weights(self):
+        x = np.ones((1, 8, 2), np.float32)
+        w = np.ones((1, 8), np.float32)
+        w[0, :3] = 0.1           # below MIN_WEIGHT
+        out = np.asarray(normalize.tscrunch_weights(jnp.asarray(x),
+                                                    jnp.asarray(w), 4))
+        # first group: 1 good sample of weight 1 -> sum=1, mean w = 1.3/4 <
+        # MIN_WEIGHT? (0.1*3+1)/4 = 0.325 >= 0.2 -> keep: 1/sqrt(1)
+        np.testing.assert_allclose(out[0, 0], 1.0)
+        np.testing.assert_allclose(out[0, 1], 4 / 2.0)
+
+
+class TestQuantize:
+    def test_levels_2bit(self):
+        x = jnp.asarray(np.array([[-1.0, -0.6109, -0.61, 0.396, 0.397,
+                                   1.40, 1.41, 5.0]], np.float32)[None])
+        lev = np.asarray(quantize.quantize_2bit(x))
+        np.testing.assert_array_equal(lev[0, 0],
+                                      [0, 1, 1, 1, 2, 2, 3, 3])
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for nbit in (2, 4, 8):
+            lev = rng.integers(0, 2 ** nbit, (5, 16)).astype(np.uint8)
+            p = quantize.pack_bits(jnp.asarray(lev), nbit)
+            u = np.asarray(quantize.unpack_bits(p, nbit))
+            np.testing.assert_array_equal(u, lev)
+
+    def test_pack_bit_order(self):
+        # sample j occupies bits [nbit*j] — LSB first (ref pb_kernels.cu:662)
+        lev = jnp.asarray(np.array([[1, 0, 0, 0]], np.uint8))
+        assert int(np.asarray(quantize.pack_bits(lev, 2))[0, 0]) == 1
+        lev = jnp.asarray(np.array([[0, 0, 0, 3]], np.uint8))
+        assert int(np.asarray(quantize.pack_bits(lev, 2))[0, 0]) == 3 << 6
+
+    def test_sel_and_dig_layout(self):
+        # 2 pol, 2 times, chans 1..4 retained, 8-bit: layout [t][pol][chan]
+        x = np.zeros((2, 2, 6), np.float32)
+        x[0, 0, 1] = 1.0   # pol0,t0,chan1
+        x[1, 1, 4] = 1.0   # pol1,t1,chan4
+        out = np.asarray(quantize.sel_and_dig(jnp.asarray(x), 1, 4, 8))
+        assert out.shape == (2, 8)
+        v = int(1.0 / C.QUANT8_SCALE + C.QUANT8_OFFSET)
+        assert out[0, 0] == v          # t0 pol0 chan0(=abs 1)
+        assert out[1, 4 + 3] == v      # t1 pol1 chan3(=abs 4)
+
+
+def test_channelize_parseval():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4 * 256)).astype(np.float32)
+    spec = np.asarray(channelize.channelize(jnp.asarray(x), 256))
+    assert spec.shape == (2, 4, 129)
+    ref = np.fft.rfft(x.reshape(2, 4, 256), axis=-1)
+    np.testing.assert_allclose(spec, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_polyphase_channelize_shape_and_leakage():
+    rng = np.random.default_rng(1)
+    nfft, ntap = 64, 4
+    t = np.arange(32 * nfft)
+    # pure tone centered on bin 10
+    x = np.cos(2 * np.pi * 10.25 * t / nfft).astype(np.float32)[None]
+    pfb = np.asarray(channelize.polyphase_channelize(jnp.asarray(x), nfft, ntap))
+    fft = np.asarray(channelize.channelize(jnp.asarray(x), nfft))
+    assert pfb.shape == (1, 32 - 3, 33)
+    # PFB suppresses leakage into a far bin relative to plain FFT
+    p_pfb = np.abs(pfb[0, 5]) ** 2
+    p_fft = np.abs(fft[0, 5]) ** 2
+    leak_pfb = p_pfb[20] / p_pfb[10]
+    leak_fft = p_fft[20] / p_fft[10]
+    assert leak_pfb < leak_fft * 0.1
+
+
+def test_inject_frb_track():
+    nchan, nspec = 32, 16
+    delays = np.linspace(0, 30, nchan).astype(np.float32)
+    spec = jnp.ones((1, nspec, nchan), jnp.complex64)
+    out = np.asarray(injection.inject_frb(spec, jnp.asarray(delays), 0,
+                                          frb_width_spectra=2.0, frb_amp=2.0))
+    # channel 0: delay 0 -> spectra 0..2 boosted
+    assert np.allclose(np.abs(out[0, 0:3, 0]), 2.0)
+    assert np.allclose(np.abs(out[0, 3, 0]), 1.0)
+    # last channel: delay 30 -> beyond this chunk except t>=30
+    assert np.allclose(np.abs(out[0, :, -1]), 1.0)
+    # advancing the clock brings the late channels into range
+    out2 = np.asarray(injection.inject_frb(spec, jnp.asarray(delays), 28,
+                                           2.0, 2.0))
+    assert np.allclose(np.abs(out2[0, 2:5, -1]), 2.0)

@@ -1,0 +1,166 @@
+"""Host-runtime tests: ring buffer, capture assembly, control plane,
+triggered dumps."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from vlite_fast_tpu import constants as C
+from vlite_fast_tpu.runtime.capture import SecondAssembler, replay_file
+from vlite_fast_tpu.runtime.control import (Command, CommandBus,
+                                            CommandClient,
+                                            ObservationDocument,
+                                            ScanStateMachine)
+from vlite_fast_tpu.runtime.dumper import TriggeredDumper
+from vlite_fast_tpu.runtime.ring import RingBuffer, FLAG_OBS_START
+from vlite_fast_tpu.runtime.trigger import Trigger
+from vlite_fast_tpu.utils import vdif
+
+
+class TestRing:
+    def test_write_read(self):
+        with RingBuffer("/vfast_t_rw", bufsz=256, nbufs=4,
+                        create=True) as rb:
+            data = np.arange(256, dtype=np.uint8)
+            assert rb.write(data, 5.0, FLAG_OBS_START) == 0
+            got, ts, fl = rb.read()
+            np.testing.assert_array_equal(got, data)
+            assert ts == 5.0 and fl == FLAG_OBS_START
+            assert rb.read() is None
+
+    def test_full_ring_drops(self):
+        with RingBuffer("/vfast_t_full", bufsz=16, nbufs=2,
+                        create=True) as rb:
+            d = np.zeros(16, np.uint8)
+            assert rb.write(d) >= 0
+            assert rb.write(d) >= 0
+            assert rb.write(d) == -1
+            assert rb.dropped == 1
+
+    def test_viewer_peek(self):
+        with RingBuffer("/vfast_t_peek", bufsz=16, nbufs=4,
+                        create=True) as rb:
+            for i in range(6):
+                rb.write(np.full(16, i, np.uint8), timestamp=100.0 + i,
+                         overwrite=True)
+            lo, hi = rb.resident()
+            assert (lo, hi) == (2, 6)
+            assert rb.peek(1) is None            # overwritten
+            data, ts = rb.peek(3)
+            assert ts == 103.0 and data[0] == 3
+            assert rb.slot_timestamp(5) == 105.0
+
+    def test_obs_header(self):
+        with RingBuffer("/vfast_t_hdr", bufsz=16, nbufs=2,
+                        create=True) as rb:
+            rb.set_obs_header("NAME J0534+2200\nRA 1.459")
+            hdr, seq = rb.get_obs_header()
+            assert "J0534" in hdr and seq == 1
+
+
+class TestAssembler:
+    def test_gap_fill_and_alignment(self):
+        rate = 50_000  # 10 frames/s/pol
+        asm = SecondAssembler(sample_rate=rate)
+        fps = rate // C.VDIF_DATA_BYTES
+        payload = np.full(C.VDIF_DATA_BYTES, 200, np.uint8)
+        done = []
+        # starts mid-second: frames before the boundary are discarded
+        done += asm.feed(7, fps - 2, 0, payload)
+        assert not asm._started
+        for f in range(fps):
+            for th in (0, 1):
+                if (f, th) == (3, 0):
+                    continue  # drop one frame
+                done += asm.feed(8, f, th, payload)
+        done += asm.feed(9, 0, 0, payload)  # next second triggers flush
+        assert len(done) == 1
+        sec, buf = done[0]
+        assert sec == 8
+        # dropped frame region is zero-filled
+        lo = 3 * C.VDIF_DATA_BYTES
+        assert np.all(buf[0, lo:lo + C.VDIF_DATA_BYTES] == 0)
+        assert np.all(buf[1, lo:lo + C.VDIF_DATA_BYTES] == 200)
+        assert np.all(buf[0, :lo] == 200)
+
+    def test_feed_stream_roundtrip(self):
+        rate = 50_000
+        nsec = 2
+        samples = np.random.default_rng(0).integers(
+            1, 255, (2, rate * (nsec + 1)), dtype=np.uint8)
+        stream = vdif.streams_to_frames(samples, ref_epoch=40,
+                                        start_second=55, sample_rate=rate)
+        asm = SecondAssembler(sample_rate=rate)
+        done = asm.feed_stream(stream)
+        assert [s for s, _ in done] == [55, 56]
+        np.testing.assert_array_equal(done[0][1], samples[:, :rate])
+
+
+class TestControl:
+    def test_scan_state_machine(self):
+        sm = ScanStateMachine()
+        od1 = ObservationDocument(name="J0534+2200", ra=1.0, dec=0.5,
+                                  scan_no=2)
+        assert sm.feed(od1, now=0.0) == [Command.START]
+        # same pointing, short integration -> keep going
+        od2 = ObservationDocument(name="J0534+2200", ra=1.0 + 1e-4,
+                                  dec=0.5, scan_no=3)
+        assert sm.feed(od2, now=100.0) == []
+        # pointing change -> STOP + START
+        od3 = ObservationDocument(name="B0329+54", ra=2.0, dec=0.9,
+                                  scan_no=4)
+        assert sm.feed(od3, now=200.0) == [Command.STOP, Command.START]
+        # integration limit forces a break even at the same pointing
+        od4 = ObservationDocument(name="B0329+54", ra=2.0, dec=0.9,
+                                  scan_no=5)
+        assert sm.feed(od4, now=200.0 + 481) == [Command.STOP, Command.START]
+        # FINISH stops
+        assert sm.feed(ObservationDocument(name="FINISH"),
+                       now=700.0) == [Command.STOP]
+        # dummy scan 1 ignored
+        assert sm.feed(ObservationDocument(name="x", scan_no=1),
+                       now=800.0) == []
+
+    def test_command_bus_tcp(self):
+        bus = CommandBus(port=37555)
+        try:
+            cli = CommandClient(port=37555)
+            time.sleep(0.3)
+            od = ObservationDocument(name="J1644-4559", ra=1.2, scan_no=7)
+            bus.publish(Command.START, od)
+            bus.publish(Command.STOP)
+            time.sleep(0.2)
+            msgs = cli.poll()
+            assert [m[0] for m in msgs] == [Command.START, Command.STOP]
+            assert msgs[0][1].name == "J1644-4559"
+            cli.close()
+        finally:
+            bus.close()
+
+
+class TestDumper:
+    def test_window_dump_and_dedup(self, tmp_path):
+        with RingBuffer("/vfast_t_dump", bufsz=1024, nbufs=8,
+                        create=True) as rb:
+            base = 1_700_000_000.0
+            for i in range(6):
+                rb.write(np.full(1024, i, np.uint8), timestamp=base + i)
+            d = TriggeredDumper(rb, str(tmp_path), station_id=3)
+            t = Trigger(t0=base + 1.5, t1=base + 3.2, sn=10, dm=80,
+                        width=0.01, peak_time=2.0)
+            rec = d.dump(t)
+            assert rec is not None
+            assert rec.seconds == [int(base + 1), int(base + 2),
+                                   int(base + 3)]
+            assert rec.nbytes == 3 * 1024
+            assert os.path.exists(rec.path)
+            assert "_ea03_" in rec.path
+            # same window again -> deduplicated
+            assert d.dump(t) is None
+            # overlapping later window dumps only the new second
+            t2 = Trigger(t0=base + 3.5, t1=base + 4.2, sn=9, dm=80,
+                         width=0.01, peak_time=4.0)
+            rec2 = d.dump(t2)
+            assert rec2.seconds == [int(base + 4)]

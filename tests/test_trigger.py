@@ -1,0 +1,90 @@
+"""Coincidencer/trigger plane tests (ref src/trigger.py, candidate.py)."""
+
+import numpy as np
+
+from vlite_fast_tpu.config import TriggerConfig
+from vlite_fast_tpu.ops.dedisperse import Candidate
+from vlite_fast_tpu.runtime import trigger as trig
+
+TSAMP = 1.0 / 1280
+
+
+def cand(sn=10.0, dm=80.0, i0=1000, i1=1010, tfilt=3, dmi=40):
+    return Candidate(snr=sn, peak_idx=(i0 + i1) // 2,
+                     peak_time=(i0 + i1) / 2 * TSAMP, tfilt=tfilt,
+                     dmi=dmi, dm=dm, ngiant=1, i0=i0, i1=i1)
+
+
+def test_overlap_rules():
+    a = trig.BeamCandidate(cand(), 0, TSAMP)
+    assert a.overlaps(trig.BeamCandidate(cand(i0=1005, i1=1015), 1, TSAMP))
+    # DM mismatch
+    assert not a.overlaps(trig.BeamCandidate(cand(dm=120.0), 1, TSAMP))
+    # no time overlap
+    assert not a.overlaps(trig.BeamCandidate(cand(i0=2000, i1=2010), 1, TSAMP))
+    # width ratio too large
+    assert not a.overlaps(
+        trig.BeamCandidate(cand(i0=990, i1=1060), 1, TSAMP))
+
+
+def test_coincidence_beam_mask():
+    per_beam = {
+        0: [cand()],
+        1: [cand(i0=1002, i1=1012)],
+        2: [cand(i0=5000, i1=5010)],   # unrelated
+    }
+    out = trig.coincidence(per_beam, TSAMP)
+    by_beam = {bc.beam: bc for bc in out}
+    # beam 0's candidate sees itself + beam 1
+    assert (by_beam[0].beam_mask > 0).sum() == 2
+    assert (by_beam[2].beam_mask > 0).sum() == 1
+
+
+def test_trigger_cuts():
+    cfg = TriggerConfig()
+    per_beam = {
+        0: [cand(sn=12.0), cand(sn=12.0, dm=10.0, i0=3000, i1=3010),
+            cand(sn=5.0, i0=7000, i1=7010)],
+        1: [cand(sn=9.0, i0=1003, i1=1013),
+            cand(sn=12.0, dm=10.0, i0=3001, i1=3011),
+            cand(sn=5.0, i0=7001, i1=7011)],
+    }
+    out = trig.coincidence(per_beam, TSAMP)
+    trigs = trig.make_triggers(out, utc_start=1700000000.0, cfg=cfg)
+    # only the first event passes: second fails DM>20, third fails S/N
+    assert len(trigs) == 1
+    t = trigs[0]
+    assert t.sn == 12.0
+    # window: i0*tsamp - 0.1 relative to utc_start
+    assert abs(t.t0 - (1700000000.0 + 1000 * TSAMP - 0.1)) < 1e-6
+    assert t.t1 > t.t0
+    assert (t.t1 - t.t0) <= cfg.max_dump_s
+
+
+def test_single_beam_no_trigger():
+    per_beam = {0: [cand(sn=50.0)]}
+    out = trig.coincidence(per_beam, TSAMP)
+    trigs = trig.make_triggers(out, 0.0)
+    assert trigs == []
+
+
+def test_trigger_wire_roundtrip():
+    t = trig.Trigger(t0=1.5, t1=3.25, sn=12.5, dm=80.0, width=0.004,
+                     peak_time=2.0, meta="beam3 nbeam4")
+    t2 = trig.Trigger.unpack(t.pack())
+    assert t2.t0 == t.t0 and t2.t1 == t.t1
+    assert abs(t2.sn - t.sn) < 1e-6
+    assert t2.meta == t.meta
+
+
+def test_window_merge():
+    cfg = TriggerConfig()
+    # two coincident events overlapping in time merge into one dump window
+    per_beam = {
+        0: [cand(sn=12.0, i0=1000, i1=1010), cand(sn=15.0, i0=1100, i1=1110)],
+        1: [cand(sn=12.0, i0=1001, i1=1011), cand(sn=15.0, i0=1101, i1=1111)],
+    }
+    out = trig.coincidence(per_beam, TSAMP)
+    trigs = trig.make_triggers(out, 0.0, cfg)
+    assert len(trigs) == 1
+    assert trigs[0].sn == 15.0

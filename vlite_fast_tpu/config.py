@@ -1,0 +1,221 @@
+"""Typed configuration for the TPU VLITE-Fast pipeline.
+
+Collapses the reference's three config tiers — compile-time #defines
+(src/process_baseband.h), per-binary getopt flags (src/process_baseband.cu:
+334-470), and the cluster tables (config/hosts, config/coadd parsed by
+src/utils.c:421-457) — into dataclasses (SURVEY.md section 5 "Config").
+
+All DSP geometry is parameterized so tests can run shrunken configurations on
+CPU while production uses the reference geometry; defaults reproduce the
+reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+from vlite_fast_tpu import constants as C
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Per-antenna DSP chain geometry + options.
+
+    Ref: compile-time constants src/process_baseband.h:16-57 and getopt flags
+    src/process_baseband.cu:345-470 (npol -P, nbit -b, rfi_mode -r,
+    inject -i).
+    """
+
+    sample_rate: int = C.VLITE_RATE        # real samples/s/pol
+    npol_in: int = 2                       # input polarizations
+    nfft: int = C.NFFT                     # channelizer transform length
+    nscrunch: int = C.NSCRUNCH             # time-average factor
+    seg_per_sec: int = C.SEG_PER_SEC       # processing chunks per second
+    nkurto: int = C.NKURTO                 # fine kurtosis window
+    chanmin: int = C.CHANMIN               # first retained channel (from DC)
+    chanmax: int = C.CHANMAX               # last retained channel
+    nbit: int = 2                          # output quantization (2/4/8)
+    npol_out: int = 1                      # 1 = pscrunch, 2 = keep pols
+    rfi_mode: int = 2                      # 0 none / 1 in-place / 2 dual-path
+    inject_frb: bool = False
+    inject_dm: float = C.INJECT_DM
+    inject_width_s: float = C.INJECT_WIDTH_S
+    inject_amp: float = C.INJECT_AMP
+    # thresholds (ref src/process_baseband.h:35-46)
+    dag_thresh: float = C.DAG_THRESH
+    dag_fb_thresh: float = C.DAG_FB_THRESH
+    min_weight: float = C.MIN_WEIGHT
+    bp_tsmooth: float = C.BP_TSMOOTH
+    freq_top_mhz: float = C.FREQ_TOP_MHZ
+    bandwidth_mhz: float = C.BANDWIDTH_MHZ
+
+    # --- derived geometry -------------------------------------------------
+    @property
+    def nchan(self) -> int:
+        return self.nfft // 2 + 1
+
+    @property
+    def nchanout(self) -> int:
+        return self.chanmax - self.chanmin + 1
+
+    @property
+    def seg_samps(self) -> int:
+        """Real samples per segment per polarization."""
+        return self.sample_rate // self.seg_per_sec
+
+    @property
+    def ffts_per_seg(self) -> int:
+        return self.seg_samps // self.nfft
+
+    @property
+    def windows_per_fft(self) -> int:
+        return self.nfft // self.nkurto
+
+    @property
+    def nwin_per_seg(self) -> int:
+        return self.seg_samps // self.nkurto
+
+    @property
+    def tsamp(self) -> float:
+        """Output filterbank sampling interval [s]."""
+        return self.nfft / self.sample_rate * self.nscrunch
+
+    @property
+    def tspec(self) -> float:
+        """Raw (pre-scrunch) spectrum interval [s]."""
+        return self.nfft / self.sample_rate
+
+    @property
+    def bp_scale(self) -> float:
+        """EMA bandpass update weight (ref src/process_baseband.cu:737-741)."""
+        return self.tsamp / self.bp_tsmooth
+
+    @property
+    def out_samps_per_seg(self) -> int:
+        return self.ffts_per_seg // self.nscrunch
+
+    @property
+    def chan_bw_mhz(self) -> float:
+        return -self.bandwidth_mhz / self.nchan
+
+    @property
+    def fch1_mhz(self) -> float:
+        return self.freq_top_mhz + (self.chanmin - 0.5) * self.chan_bw_mhz
+
+    def __post_init__(self):
+        if self.seg_samps % self.nfft:
+            raise ValueError("seg_samps must be a multiple of nfft")
+        if self.nfft % self.nkurto:
+            raise ValueError("nfft must be a multiple of nkurto")
+        if self.ffts_per_seg % self.nscrunch:
+            raise ValueError("ffts_per_seg must be a multiple of nscrunch")
+        if self.nbit not in (2, 4, 8):
+            raise ValueError("nbit must be 2, 4 or 8")
+        samples_per_byte = 8 // self.nbit
+        if (self.out_samps_per_seg * self.nchanout * self.npol_out) % samples_per_byte:
+            raise ValueError("channel/bit scheme is not byte-commensurate "
+                             "(ref src/process_baseband.cu:668-673)")
+
+    @classmethod
+    def tiny(cls, **overrides) -> "PipelineConfig":
+        """A shrunken geometry for CPU tests: 12.5 kHz-rate analog."""
+        kw = dict(
+            sample_rate=1_000_000,  # 1 Msps
+            nfft=500,
+            nkurto=50,
+            nscrunch=4,
+            seg_per_sec=10,
+            chanmin=16,
+            chanmax=207,            # 192 output channels
+            nbit=8,
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Incoherent-dedispersion single-pulse search (heimdall's role).
+
+    Ref invocation: scripts/start_heimdall_single_antenna:21
+    (-nsamps_gulp 30720 -dm 2 1000 -boxcar_max 64 -zap_chans 0 190
+     -zap_chans 3900 4096).
+    """
+
+    dm_min: float = 2.0
+    dm_max: float = 1000.0
+    ndm: int = 1024
+    dm_tol: float = 1.25           # S/N loss tolerance setting the DM grid
+    gulp_samps: int = 30720        # samples per search gulp (24 s)
+    boxcar_max: int = 64           # max matched-filter width (power-of-2 set)
+    snr_thresh: float = 6.0        # per-beam candidate threshold
+    zap_ranges: Tuple[Tuple[int, int], ...] = ((0, 190), (3900, 4096))
+    max_candidates: int = 4096     # static candidate-buffer size per gulp
+    cluster_radius: int = 8        # samples; merge nearby boxcar peaks
+
+    @classmethod
+    def tiny(cls, **overrides) -> "SearchConfig":
+        kw = dict(dm_min=0.0, dm_max=100.0, ndm=64, gulp_samps=512,
+                  boxcar_max=16, zap_ranges=(), max_candidates=256)
+        kw.update(overrides)
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class TriggerConfig:
+    """Coincidencer cuts (ref src/trigger.py:45,148 and candidate.py:49-64)."""
+
+    snr_thresh: float = C.TRIGGER_SNR
+    min_beams: int = C.TRIGGER_MIN_BEAMS
+    max_width_s: float = C.TRIGGER_MAX_WIDTH_S
+    min_dm: float = C.TRIGGER_MIN_DM
+    delta_dm: float = 0.1          # fractional DM agreement for overlap
+    delta_w: float = 3.0           # max width ratio for overlap
+    max_dump_s: float = C.MAX_DUMP_S
+    buffer_pre_s: float = 0.1      # dump window padding (ref trigger.py:171)
+    buffer_post_s: float = 0.2
+
+
+@dataclass(frozen=True)
+class AntennaConfig:
+    """One antenna stream (one row of the reference's config/hosts table)."""
+
+    station_id: int
+    name: str = ""
+    position_m: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # ECEF-ish
+
+
+@dataclass(frozen=True)
+class ArrayConfig:
+    """The whole array + mesh layout (replaces config/hosts, config/coadd,
+    and the OpenMPI hostfiles of the reference coadd path)."""
+
+    antennas: Tuple[AntennaConfig, ...] = tuple(
+        AntennaConfig(station_id=i + 1, name=f"ea{i + 1:02d}")
+        for i in range(8))
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    trigger: TriggerConfig = field(default_factory=TriggerConfig)
+    # mesh shape: antennas sharded over 'ant', search time blocks over 'time'
+    mesh_ant: int = 1
+    mesh_time: int = 1
+
+    @property
+    def nant(self) -> int:
+        return len(self.antennas)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def tiny(cls, nant: int = 4, mesh_ant: int = 1, mesh_time: int = 1,
+             **overrides) -> "ArrayConfig":
+        return cls(
+            antennas=tuple(AntennaConfig(station_id=i + 1, name=f"ea{i+1:02d}")
+                           for i in range(nant)),
+            pipeline=PipelineConfig.tiny(),
+            search=SearchConfig.tiny(),
+            mesh_ant=mesh_ant, mesh_time=mesh_time, **overrides)

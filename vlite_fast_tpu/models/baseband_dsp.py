@@ -1,0 +1,206 @@
+"""The per-antenna streaming DSP chain — the system's flagship model.
+
+TPU-native re-design of process_baseband (ref src/process_baseband.cu:334,
+segment dispatch :1108-1458): one pure, jittable function maps a 100 ms
+chunk of raw 8-bit voltages to quantized filterbank bytes, threading the
+carried state (EMA bandpass per stream) explicitly.  A second of data is a
+lax.scan of that function over its 10 segments; an observation is the host
+runtime repeatedly feeding seconds (runtime/pipeline.py).
+
+Chain per segment (matching the reference launch order at
+process_baseband.cu:1152-1360):
+
+  uint8 (npol, seg_samps)
+    -> convert            (pb_kernels convertarray)
+    -> [rfi_mode>0] kurtosis stats + D'Agostino + mask  (ops.kurtosis)
+    -> rfft channelize    (cufftExecR2C)
+    -> [inject] FRB track multiply                      (ops.injection)
+    -> detect + EMA bandpass normalize [weighted]       (ops.normalize)
+    -> pscrunch [+weights] -> tscrunch [+weights]
+    -> channel trim + quantize + pack                   (ops.quantize)
+  -> packed uint8 (out_samps, bytes_per_samp) x {plain, kur} streams
+
+rfi_mode semantics match the reference (-r flag, process_baseband.cu:449):
+0 = no excision (plain stream only), 1 = excision in place (kur stream
+only), 2 = both streams (default).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlite_fast_tpu.config import PipelineConfig
+from vlite_fast_tpu.ops import channelize as ch_ops
+from vlite_fast_tpu.ops import injection as inj_ops
+from vlite_fast_tpu.ops import kurtosis as kur_ops
+from vlite_fast_tpu.ops import normalize as norm_ops
+from vlite_fast_tpu.ops import quantize as q_ops
+from vlite_fast_tpu.ops import unpack as unpack_ops
+
+
+class DSPState(NamedTuple):
+    """Carried DSP state (the only cross-segment state in the chain,
+    SURVEY.md section 5 'checkpoint/resume')."""
+
+    bp: jax.Array        # (npol, nchan) plain-stream bandpass
+    bp_kur: jax.Array    # (npol, nchan) kurtosis-stream bandpass
+    segs_since_inject: jax.Array  # int32 scalar; <0 means not armed
+
+
+class SegmentOutput(NamedTuple):
+    packed: jax.Array       # (out_samps, nbytes) plain stream ('' if mode 1)
+    packed_kur: jax.Array   # (out_samps, nbytes) kur stream ('' if mode 0)
+    weights: jax.Array      # (npol, ffts_per_seg) kurtosis weights
+    dag_frac: jax.Array     # scalar: fraction of fine windows flagged
+
+
+def init_state(cfg: PipelineConfig) -> DSPState:
+    return DSPState(
+        bp=jnp.zeros((cfg.npol_in, cfg.nchan), jnp.float32),
+        bp_kur=jnp.zeros((cfg.npol_in, cfg.nchan), jnp.float32),
+        segs_since_inject=jnp.int32(-1),
+    )
+
+
+def _frb_delay_array(cfg: PipelineConfig) -> jax.Array:
+    spectra_per_sec = cfg.seg_per_sec * cfg.ffts_per_seg
+    return jnp.asarray(inj_ops.frb_delays(
+        cfg.nchan, cfg.inject_dm, spectra_per_sec,
+        freq_top_ghz=cfg.freq_top_mhz / 1e3,
+        bandwidth_ghz=cfg.bandwidth_mhz / 1e3))
+
+
+def process_segment(cfg: PipelineConfig, raw: jax.Array,
+                    state: DSPState) -> tuple[SegmentOutput, DSPState]:
+    """One 1/seg_per_sec-second chunk through the full chain.
+
+    raw: (npol_in, seg_samps) uint8. Pure function of (raw, state).
+    """
+    x = unpack_ops.convert_uint8(raw)
+
+    weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
+    dag_frac = jnp.float32(0.0)
+    x_kur = x
+    if cfg.rfi_mode > 0:
+        res = kur_ops.rfi_excise(x, cfg.nkurto, cfg.nfft,
+                                 dag_thresh=cfg.dag_thresh)
+        x_kur, weights = res.masked, res.weights
+        dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
+
+    def spectra(v):
+        return ch_ops.channelize(v, cfg.nfft)
+
+    def maybe_inject(spec):
+        if not cfg.inject_frb:
+            return spec
+        delays = _frb_delay_array(cfg)
+        width = cfg.inject_width_s * cfg.seg_per_sec * cfg.ffts_per_seg
+        since = state.segs_since_inject * cfg.ffts_per_seg
+        injected = inj_ops.inject_frb(spec, delays, since, width,
+                                      cfg.inject_amp)
+        return jnp.where(state.segs_since_inject >= 0, injected, spec)
+
+    def finish_plain(spec, bp):
+        p = norm_ops.detect(spec)
+        out, bp_new = norm_ops.normalize_ema(p, bp, cfg.bp_scale)
+        if cfg.npol_out == 1 and cfg.npol_in == 2:
+            out = norm_ops.pscrunch(out)
+        out = norm_ops.tscrunch(out, cfg.nscrunch)
+        packed = q_ops.sel_and_dig(out, cfg.chanmin, cfg.chanmax, cfg.nbit)
+        return packed, bp_new
+
+    def finish_kur(spec, bp):
+        p = norm_ops.detect(spec)
+        out, bp_new = norm_ops.normalize_ema_weighted(
+            p, weights, bp, cfg.bp_scale)
+        w = weights
+        if cfg.npol_out == 1 and cfg.npol_in == 2:
+            out, w = norm_ops.pscrunch_weights(out, w, cfg.min_weight)
+        out = norm_ops.tscrunch_weights(out, w, cfg.nscrunch, cfg.min_weight)
+        packed = q_ops.sel_and_dig(out, cfg.chanmin, cfg.chanmax, cfg.nbit)
+        return packed, bp_new
+
+    bp, bp_kur = state.bp, state.bp_kur
+    nbytes = cfg.npol_out * cfg.nchanout * cfg.nbit // 8
+    empty = jnp.zeros((cfg.out_samps_per_seg, nbytes), jnp.uint8)
+    if cfg.rfi_mode == 0:
+        packed, bp = finish_plain(maybe_inject(spectra(x)), bp)
+        packed_kur = empty
+    elif cfg.rfi_mode == 1:
+        packed_kur, bp_kur = finish_kur(maybe_inject(spectra(x_kur)), bp_kur)
+        packed = empty
+    else:
+        packed, bp = finish_plain(maybe_inject(spectra(x)), bp)
+        packed_kur, bp_kur = finish_kur(maybe_inject(spectra(x_kur)), bp_kur)
+
+    new_since = jnp.where(state.segs_since_inject >= 0,
+                          state.segs_since_inject + 1,
+                          state.segs_since_inject)
+    new_state = DSPState(bp=bp, bp_kur=bp_kur, segs_since_inject=new_since)
+    return SegmentOutput(packed, packed_kur, weights, dag_frac), new_state
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_second(cfg: PipelineConfig, raw_second: jax.Array,
+                   state: DSPState, arm_inject: jax.Array
+                   ) -> tuple[SegmentOutput, DSPState]:
+    """One second = scan of process_segment over seg_per_sec chunks.
+
+    raw_second: (npol_in, sample_rate) uint8.  arm_inject: bool scalar —
+    start an FRB at the top of this second (ref process_baseband.cu:1098:
+    armed when current_sec % 60 == 0).
+    Outputs are concatenated over segments (time-major).
+    """
+    segs = raw_second.reshape(cfg.npol_in, cfg.seg_per_sec,
+                              cfg.seg_samps).swapaxes(0, 1)
+    state = state._replace(segs_since_inject=jnp.where(
+        arm_inject, jnp.int32(0), state.segs_since_inject))
+
+    def step(st, seg):
+        out, st2 = process_segment(cfg, seg, st)
+        return st2, out
+
+    state, outs = jax.lax.scan(step, state, segs)
+    merge = lambda a: a.reshape((-1,) + a.shape[2:])
+    return SegmentOutput(
+        packed=merge(outs.packed),
+        packed_kur=merge(outs.packed_kur),
+        weights=jnp.swapaxes(outs.weights, 0, 1).reshape(cfg.npol_in, -1),
+        dag_frac=jnp.mean(outs.dag_frac),
+    ), state
+
+
+def reference_chain_numpy(cfg: PipelineConfig, raw: np.ndarray,
+                          bp_in: Optional[np.ndarray] = None) -> dict:
+    """Slow, direct numpy oracle of the *unweighted* chain for tests:
+    convert -> rfft -> |.|^2 -> EMA bandpass -> pscrunch -> tscrunch ->
+    quantize levels (unpacked).  Mirrors the same math as process_segment
+    with rfi_mode=0 for flag-free data."""
+    npol, nsamp = raw.shape
+    x = raw.astype(np.float32) / 128.0 - 1.0
+    x[raw == 0] = 0.0
+    spec = np.fft.rfft(x.reshape(npol, -1, cfg.nfft), axis=-1)
+    p = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+    ntime = p.shape[1]
+    bp = np.zeros((npol, cfg.nchan), np.float32) if bp_in is None else bp_in.copy()
+    out = np.empty_like(p)
+    seg = cfg.ffts_per_seg
+    for s in range(0, ntime, seg):
+        blk = p[:, s:s + seg]
+        mask = bp == 0.0
+        bp[mask] = np.mean(blk, axis=1)[mask]
+        for t in range(blk.shape[1]):
+            bp = (cfg.bp_scale * blk[:, t] + (1 - cfg.bp_scale) * bp).astype(np.float32)
+            out[:, s + t] = blk[:, t] / bp - 1.0
+    if cfg.npol_out == 1 and npol == 2:
+        out = (np.sqrt(np.float32(0.5)) * (out[0] + out[1]))[None]
+    ns = cfg.nscrunch
+    out = out.reshape(out.shape[0], -1, ns, cfg.nchan).sum(2) * np.float32(
+        1.0 / np.sqrt(ns))
+    trimmed = out[:, :, cfg.chanmin:cfg.chanmax + 1]
+    return {"power": p, "normalized": out, "trimmed": trimmed, "bp": bp}

@@ -1,0 +1,143 @@
+"""Spectral-kurtosis RFI excision.
+
+TPU-native reimplementation of the kurtosis stack in the reference
+(src/pb_kernels.cu): `kurtosis` (:35-107), `compute_dagostino` (:109-134),
+`block_kurtosis` (:140-212), `compute_dagostino2` (:219-241) and
+`apply_kurtosis` / `apply_kurtosis_fake` (:243-318).
+
+Where the CUDA code uses shared-memory tree reductions per 500-sample window,
+here windows become a reshaped axis and the reductions are plain jnp sums that
+XLA vectorizes over the (pol, window) grid — there is no benefit to a Pallas
+kernel for these (they fuse with the surrounding elementwise math).
+
+Shapes: voltages are (npol, nsamp); fine-window stats are (npol, nwin) with
+nwin = nsamp // nkurto; block stats are (npol, nblk) with
+nblk = nsamp // nfft.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vlite_fast_tpu import constants as C
+
+
+class KurtosisResult(NamedTuple):
+    """Everything the RFI stage produces for one chunk of voltages."""
+
+    masked: jax.Array       # (npol, nsamp) voltages with bad windows zeroed
+    weights: jax.Array      # (npol, nblk) surviving fraction per FFT block
+    dag: jax.Array          # (nwin,) pol-combined fine-window TS
+    dag_fb: jax.Array       # (nblk,) pol-combined block TS
+    pow_w: jax.Array        # (npol, nwin) fine-window power
+    kur_w: jax.Array        # (npol, nwin) fine-window kurtosis
+
+
+def window_stats(x: jax.Array, nkurto: int) -> tuple[jax.Array, jax.Array]:
+    """Power and kurtosis per nkurto-sample window.
+
+    Ref: kurtosis kernel (src/pb_kernels.cu:35-107).
+    x: (npol, nsamp) float32 -> (pow, kur) each (npol, nwin).
+    """
+    npol, nsamp = x.shape
+    w = x.reshape(npol, nsamp // nkurto, nkurto)
+    x2 = w * w
+    m2 = jnp.mean(x2, axis=-1)
+    m4 = jnp.mean(x2 * x2, axis=-1)
+    # kur = m4 / m2^2; the reference divides unguarded (inf/nan for all-zero
+    # windows, then mapped to DAG_INF by the zero test on kur)
+    kur = m4 / jnp.where(m2 == 0, 1.0, m2 * m2)
+    kur = jnp.where(m2 == 0, 0.0, kur)
+    return m2, kur
+
+
+def dagostino_ts(kur: jax.Array, n: int, dag_inf: float = C.DAG_INF) -> jax.Array:
+    """D'Agostino K^2 kurtosis normality TS, pol-combined by max.
+
+    Ref: compute_dagostino (src/pb_kernels.cu:109-134); constants follow
+    pb_kernels.cu:3-20 via constants.dagostino_constants(n).
+    kur: (npol, nwin) -> (nwin,) (the reference duplicates the pol-max into
+    both pol slots; we return it once).
+    """
+    k = C.dagostino_constants(n)
+    t = (1.0 - 2.0 / k["A"]) / (1.0 + (kur - 3.0 - k["mu1"]) * k["Z2_3"])
+    dag = jnp.abs(k["Z2_1"] * (k["Z2_2"] - jnp.cbrt(t)))
+    dag = jnp.where(t > 0, dag, dag_inf)
+    dag = jnp.where(kur == 0.0, dag_inf, dag)
+    return jnp.max(dag, axis=0)
+
+
+def block_stats(pow_w: jax.Array, kur_w: jax.Array, dag: jax.Array,
+                windows_per_fft: int,
+                dag_thresh: float = C.DAG_THRESH) -> tuple[jax.Array, jax.Array]:
+    """Filterbank-block power/kurtosis, zero-weighting already-flagged
+    fine windows (the fine-time pre-filter).
+
+    Ref: block_kurtosis (src/pb_kernels.cu:140-212).
+    pow_w/kur_w: (npol, nwin); dag: (nwin,) pol-combined.
+    Returns (pow_blk, kur_blk) each (npol, nblk).
+    """
+    npol, nwin = pow_w.shape
+    nblk = nwin // windows_per_fft
+    wt = (dag < dag_thresh).astype(pow_w.dtype)          # (nwin,)
+    wt = jnp.broadcast_to(wt, (npol, nwin)).reshape(npol, nblk, windows_per_fft)
+    p = pow_w.reshape(npol, nblk, windows_per_fft)
+    q = kur_w.reshape(npol, nblk, windows_per_fft)
+    wsum = jnp.sum(wt, axis=-1)
+    psum = jnp.sum(wt * p, axis=-1)
+    qsum = jnp.sum(wt * q * p * p, axis=-1)
+    good = wsum > 0
+    pblk = jnp.where(good, psum / jnp.where(good, wsum, 1.0), 0.0)
+    kblk = jnp.where(good,
+                     qsum / jnp.where(good, wsum, 1.0)
+                     / jnp.where(good, pblk * pblk, 1.0),
+                     0.0)
+    return pblk, kblk
+
+
+def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
+               dag_thresh: float = C.DAG_THRESH,
+               fake: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Zero voltages in flagged windows; per-FFT-block surviving weights.
+
+    Ref: apply_kurtosis / apply_kurtosis_fake (src/pb_kernels.cu:243-318).
+    Only the fine-window TS gates excision (the block TS is computed but its
+    use is commented out in the reference, pb_kernels.cu:255-256).
+    x: (npol, nsamp); dag: (nwin,) -> (masked (npol, nsamp),
+    weights (npol, nblk)).
+    """
+    npol, nsamp = x.shape
+    nwin = nsamp // nkurto
+    wpf = nfft // nkurto
+    nblk = nwin // wpf
+    if fake:
+        good = jnp.ones((nwin,), dtype=x.dtype)
+        return x, jnp.broadcast_to(
+            jnp.mean(good.reshape(nblk, wpf), axis=-1), (npol, nblk))
+    good = (dag < dag_thresh)
+    masked = jnp.where(
+        jnp.repeat(good, nkurto)[None, :], x, 0.0)
+    weights = jnp.mean(
+        good.astype(x.dtype).reshape(nblk, wpf), axis=-1)
+    return masked, jnp.broadcast_to(weights, (npol, nblk))
+
+
+@partial(jax.jit, static_argnames=("nkurto", "nfft", "fake"))
+def rfi_excise(x: jax.Array, nkurto: int, nfft: int,
+               dag_thresh: float = C.DAG_THRESH,
+               fake: bool = False) -> KurtosisResult:
+    """Full RFI stage: fine stats -> TS -> block stats -> mask + weights.
+
+    Mirrors the launch sequence at src/process_baseband.cu:1160-1216.
+    """
+    pow_w, kur_w = window_stats(x, nkurto)
+    dag = dagostino_ts(kur_w, nkurto)
+    wpf = nfft // nkurto
+    pow_b, kur_b = block_stats(pow_w, kur_w, dag, wpf, dag_thresh)
+    dag_fb = dagostino_ts(kur_b, nfft)
+    masked, weights = apply_mask(x, dag, nkurto, nfft, dag_thresh, fake)
+    return KurtosisResult(masked, weights, dag, dag_fb, pow_w, kur_w)

@@ -1,0 +1,153 @@
+"""Detection, running-bandpass normalization, pol/time scrunching.
+
+TPU-native reimplementation of detect_and_normalize2/3, pscrunch[_weights]
+and tscrunch[_weights] (ref src/pb_kernels.cu:393-630).
+
+The bandpass is an exponential moving average updated once per spectrum
+(97.66 us) with weight bp_scale = tsamp/tsmooth ~ 7.8e-4 (ref
+src/process_baseband.cu:737-741).  The CUDA code walks time serially per
+channel-thread; here the serial dimension is a lax.scan carrying the
+(npol, nchan) bandpass, so the per-step body is a fully-vectorized
+(npol, nchan) elementwise op on the VPU.  The weighted variant
+(detect_and_normalize3) has a data-dependent clip that makes the recurrence
+nonlinear, so scan is the honest implementation for both.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vlite_fast_tpu import constants as C
+
+
+class NormState(NamedTuple):
+    bp: jax.Array  # (npol, nchan) running bandpass; 0 = uninitialized
+
+
+def detect(fft_out: jax.Array) -> jax.Array:
+    """|X|^2 detection. fft_out: complex (npol, ntime, nchan) -> float32."""
+    return (jnp.real(fft_out) ** 2 + jnp.imag(fft_out) ** 2).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=())
+def normalize_ema(power: jax.Array, bp: jax.Array,
+                  scale: float) -> tuple[jax.Array, jax.Array]:
+    """Unweighted bandpass normalization (detect_and_normalize2,
+    ref src/pb_kernels.cu:393-429).
+
+    power: (npol, ntime, nchan); bp: (npol, nchan) carry (0 = seed from the
+    mean of this chunk).  Returns (out, new_bp) with out = p/bp - 1.
+    """
+    seed = jnp.mean(power, axis=1)
+    bp0 = jnp.where(bp == 0.0, seed, bp)
+
+    def step(bp_c, p_t):
+        bp_n = scale * p_t + (1.0 - scale) * bp_c
+        return bp_n, p_t / bp_n - 1.0
+
+    bp_f, out = jax.lax.scan(step, bp0, jnp.swapaxes(power, 0, 1), unroll=8)
+    return jnp.swapaxes(out, 0, 1), bp_f
+
+
+@partial(jax.jit, static_argnames=())
+def normalize_ema_weighted(power: jax.Array, weights: jax.Array,
+                           bp: jax.Array, scale: float,
+                           clip_ratio: float = C.BP_CLIP_RATIO,
+                           clip_value: float = C.BP_CLIP_VALUE,
+                           ) -> tuple[jax.Array, jax.Array]:
+    """Kurtosis-weighted normalization (detect_and_normalize3,
+    ref src/pb_kernels.cu:431-511).
+
+    power: (npol, ntime, nchan); weights: (npol, ntime) surviving fraction
+    per spectrum; bp: (npol, nchan).
+    Semantics per (pol, t, chan):
+      w == 0          -> out = 0, no bandpass update
+      p/w > clip*bp   -> out = clip_value, no bandpass update
+      else            -> bp = s*(p/w) + (1-s)*bp ; out = (p/w)/bp - 1
+    Seeding (bp==0): mean over good samples of p/w, or 1 if none good.
+    """
+    w3 = weights[:, :, None]
+    good = w3 > 0.0
+    pw = jnp.where(good, power / jnp.where(good, w3, 1.0), 0.0)
+    ngood = jnp.sum(good, axis=1)
+    seed = jnp.where(ngood > 0,
+                     jnp.sum(pw, axis=1) / jnp.maximum(ngood, 1),
+                     1.0)
+    bp0 = jnp.where(bp == 0.0, seed, bp)
+
+    def step(bp_c, inp):
+        p_t, good_t = inp          # (npol, nchan), (npol, 1->nchan bool)
+        clipped = p_t > bp_c * clip_ratio
+        update = good_t & (~clipped)
+        bp_n = jnp.where(update, scale * p_t + (1.0 - scale) * bp_c, bp_c)
+        out = jnp.where(good_t,
+                        jnp.where(clipped, clip_value, p_t / bp_n - 1.0),
+                        0.0)
+        return bp_n, out
+
+    bp_f, out = jax.lax.scan(
+        step, bp0,
+        (jnp.swapaxes(pw, 0, 1), jnp.swapaxes(good, 0, 1)),
+        unroll=8)
+    return jnp.swapaxes(out, 0, 1), bp_f
+
+
+def pscrunch(x: jax.Array) -> jax.Array:
+    """Sum polarizations, variance-normalized (ref src/pb_kernels.cu:514-524).
+
+    x: (2, ntime, nchan) -> (1, ntime, nchan)."""
+    return (jnp.float32(jnp.sqrt(0.5)) * (x[0] + x[1]))[None]
+
+
+def pscrunch_weights(x: jax.Array, weights: jax.Array,
+                     min_weight: float = C.MIN_WEIGHT
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Weighted pol sum (ref src/pb_kernels.cu:527-560).
+
+    x: (2, ntime, nchan); weights: (2, ntime) -> ((1, ntime, nchan),
+    (1, ntime)).
+    Both pols good: (x0+x1)/sqrt(2), w = (w0+w1)/2.  One good: that pol,
+    w = its weight.  None: 0, 0.
+    """
+    w0, w1 = weights[0], weights[1]
+    g0 = (w0 >= min_weight)
+    g1 = (w1 >= min_weight)
+    both = (g0 & g1)[:, None]
+    xg = (x[0] * g0[:, None].astype(x.dtype)
+          + x[1] * g1[:, None].astype(x.dtype))
+    out = jnp.where(both, jnp.float32(jnp.sqrt(0.5)) * (x[0] + x[1]), xg)
+    w_out = jnp.where(g0 & g1, 0.5 * (w0 + w1), w0 * g0 + w1 * g1)
+    return out[None], w_out[None]
+
+
+def tscrunch(x: jax.Array, nscrunch: int) -> jax.Array:
+    """Time average (ref src/pb_kernels.cu:562-589): sum of nscrunch samples
+    scaled by 1/sqrt(nscrunch).  x: (npol, ntime, nchan)."""
+    npol, ntime, nchan = x.shape
+    y = x.reshape(npol, ntime // nscrunch, nscrunch, nchan)
+    return jnp.sum(y, axis=2) * jnp.float32(1.0 / jnp.sqrt(nscrunch))
+
+
+def tscrunch_weights(x: jax.Array, weights: jax.Array, nscrunch: int,
+                     min_weight: float = C.MIN_WEIGHT) -> jax.Array:
+    """Weighted time average (ref src/pb_kernels.cu:591-630).
+
+    x: (npol, ntime, nchan); weights: (npol, ntime).
+    out = sum(w_t * x_t over good t) / sqrt(#good) if mean good weight >=
+    min_weight else 0.
+    """
+    npol, ntime, nchan = x.shape
+    w = weights.reshape(npol, ntime // nscrunch, nscrunch)
+    good = (w >= min_weight)
+    wg = jnp.where(good, w, 0.0)
+    cnt = jnp.sum(good, axis=-1)
+    wsumf = jnp.sum(wg, axis=-1)
+    y = x.reshape(npol, ntime // nscrunch, nscrunch, nchan)
+    acc = jnp.sum(wg[..., None] * y, axis=2)
+    ok = (wsumf / nscrunch) >= min_weight
+    denom = jnp.sqrt(jnp.maximum(cnt, 1).astype(x.dtype))
+    return jnp.where(ok[..., None], acc / denom[..., None], 0.0)

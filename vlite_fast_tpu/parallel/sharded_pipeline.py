@@ -1,0 +1,141 @@
+"""The full-array sharded step: every antenna's DSP, the cross-antenna
+coadd, and the coadd search — one jitted program over an (ant, time) mesh.
+
+This replaces the reference's distributed topology (12 hosts of independent
+process chains + agdadacoadd MPI reduce + a central coincidencer,
+SURVEY.md section 1) with SPMD collectives:
+
+  * antennas shard over the 'ant' axis — the per-antenna DSP chains are a
+    vmap, so one chip can carry several antennas;
+  * the incoherent coadd is a psum over 'ant' (ICI all-reduce, replacing
+    MPI over the cluster network);
+  * search time-blocks shard over 'time' with an overlap-save halo pulled
+    from the next neighbor by ppermute (replacing heimdall's gulp overlap);
+  * the DSP's EMA bandpass state is carried per (antenna, time-block) shard
+    — in production the 'time' axis parallelizes the search stage while DSP
+    streams sequentially per antenna (see parallel/mesh.py docstring).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from vlite_fast_tpu.config import ArrayConfig
+from vlite_fast_tpu.models import baseband_dsp as dsp
+from vlite_fast_tpu.models import search as search_mod
+from vlite_fast_tpu.models.coadd import coadd_psum
+from vlite_fast_tpu.ops import dedisperse as dd
+from vlite_fast_tpu.ops import quantize as q_ops
+from vlite_fast_tpu.parallel.halo import halo_from_next
+
+
+class ArrayStepOutput(NamedTuple):
+    packed_kur: jax.Array   # (nant, ntblk, out_samps, nbytes) per-ant fb
+    snr_max: jax.Array      # (ntblk,) peak coadd S/N per time block
+    snr_argmax: jax.Array   # (ntblk, 3) [width_idx, dm_idx, t] of the peak
+    weights_mean: jax.Array  # (nant, ntblk) mean RFI weight per block
+
+
+def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
+    """Returns (step_fn, make_inputs) where step_fn is jitted over the mesh.
+
+    step_fn(raw, state) with
+      raw:   (nant, ntblk, npol, nsec_per_block*sample_rate) uint8,
+             sharded P('ant', 'time')
+      state: DSPState with leaves (nant, ntblk, ...) sharded P('ant','time')
+    """
+    cfg = acfg.pipeline
+    scfg = acfg.search
+    nant = acfg.nant
+    ntblk = mesh.shape["time"]
+    out_samps = nsec_per_block * cfg.seg_per_sec * cfg.out_samps_per_seg
+
+    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                - 0.5) * cfg.chan_bw_mhz
+    dms = dd.dm_grid(scfg.dm_min, scfg.dm_max, scfg.ndm)
+    plan = dd.make_plan(dms, freqs, cfg.tsamp, nsub=min(64, cfg.nchanout),
+                        nbatch=min(scfg.ndm, 64),
+                        zap_ranges=scfg.zap_ranges)
+    halo = int(plan.max_delay)
+    if halo >= out_samps:
+        raise ValueError(
+            f"time block ({out_samps} samples) shorter than the max DM "
+            f"delay ({halo}); raise nsec_per_block or lower dm_max")
+    widths = search_mod.boxcar_widths(scfg.boxcar_max)
+    ntime_out = out_samps  # search the whole block using the halo lookahead
+
+    def per_antenna_second(raw_sec, state, arm):
+        out, st = dsp.process_second(cfg, raw_sec, state, arm)
+        return out, st
+
+    def shard_fn(raw, bp, bp_kur):
+        # raw: (ant_l, tblk_l, npol, nsamp_block)
+        ant_l, tblk_l = raw.shape[0], raw.shape[1]
+        state = dsp.DSPState(
+            bp=bp, bp_kur=bp_kur,
+            segs_since_inject=jnp.full(raw.shape[:2], -1, jnp.int32))
+
+        def one(raw_blk, st):
+            # process nsec_per_block seconds sequentially (EMA carry)
+            secs = raw_blk.reshape(cfg.npol_in, nsec_per_block, -1)
+            secs = jnp.swapaxes(secs, 0, 1)
+
+            def step(s, sec):
+                o, s2 = dsp.process_second(cfg, sec, s, jnp.bool_(False))
+                return s2, o
+
+            st2, outs = jax.lax.scan(step, st, secs)
+            packed_kur = outs.packed_kur.reshape(out_samps, -1)
+            return packed_kur, outs.weights.mean(), st2
+
+        packed, wmean, st_new = jax.vmap(jax.vmap(one))(raw, state)
+
+        # --- coadd over the full 'ant' axis (ICI all-reduce) --------------
+        fb = q_ops.dequantize(packed, cfg.nbit)
+        fb = fb.reshape(ant_l, tblk_l, out_samps, -1)[..., :cfg.nchanout]
+        co = coadd_psum(fb[:, 0], "ant", nant)      # (out_samps, nchanout)
+
+        # --- search with halo from the next time shard --------------------
+        co_ext = halo_from_next(co, halo, "time")   # (out_samps+halo, chan)
+        dmt = dd.dedisperse(co_ext, plan, ntime_out,
+                            dm_chunk=min(8, scfg.ndm))
+        snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
+        flat = snr.reshape(-1)
+        amax = jnp.argmax(flat)
+        nw, ndm_, nt_ = snr.shape
+        peak = jnp.stack([amax // (ndm_ * nt_),
+                          (amax // nt_) % ndm_,
+                          amax % nt_]).astype(jnp.int32)
+        return (packed, jnp.max(flat)[None], peak[None],
+                wmean, st_new.bp, st_new.bp_kur)
+
+    pspec_at = P("ant", "time")
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(pspec_at, pspec_at, pspec_at),
+        out_specs=(pspec_at, P("time"), P("time"), pspec_at,
+                   pspec_at, pspec_at),
+        check_vma=False)
+
+    @jax.jit
+    def step_fn(raw, bp, bp_kur):
+        packed, snr_max, peak, wmean, bp2, bpk2 = mapped(raw, bp, bp_kur)
+        return ArrayStepOutput(packed, snr_max, peak, wmean), (bp2, bpk2)
+
+    def make_inputs(seed: int = 0):
+        rng = np.random.default_rng(seed)
+        nsamp = nsec_per_block * cfg.sample_rate
+        raw = np.clip(rng.standard_normal(
+            (nant, ntblk, cfg.npol_in, nsamp)) / 0.05914 + 128.5,
+            0, 255).astype(np.uint8)
+        bp = np.zeros((nant, ntblk, cfg.npol_in, cfg.nchan), np.float32)
+        return raw, bp, bp.copy()
+
+    return step_fn, make_inputs, plan

@@ -1,0 +1,213 @@
+"""Host-side orchestration: the process zoo of the reference as one program.
+
+The reference runs writer | process_baseband | heimdall | dumper as separate
+POSIX processes glued by PSRDADA rings and multicast (SURVEY.md section 1).
+Here one StationPipeline object runs the same stages for one antenna stream:
+
+  capture/replay -> baseband ring (C++ shm, for triggered dumps)
+                 -> DSP chain (jit, models/baseband_dsp)
+                 -> .fil file + in-memory filterbank
+                 -> gulp search (models/search) -> candidates
+
+and an ArrayPipeline fans N stations into the coincidencer + triggered
+dumper (the trigger.py + dumper roles).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from vlite_fast_tpu import constants as C
+from vlite_fast_tpu.config import (ArrayConfig, PipelineConfig, SearchConfig,
+                                   TriggerConfig)
+from vlite_fast_tpu.models import baseband_dsp as dsp
+from vlite_fast_tpu.models import search as search_mod
+from vlite_fast_tpu.ops import dedisperse as dd
+from vlite_fast_tpu.runtime import trigger as trig
+from vlite_fast_tpu.runtime.control import ObservationDocument
+from vlite_fast_tpu.runtime.dumper import TriggeredDumper
+from vlite_fast_tpu.runtime.ring import RingBuffer, FLAG_OBS_START
+from vlite_fast_tpu.utils import sigproc
+from vlite_fast_tpu.utils.log import Metrics, RTMonitor, make_logger
+
+
+@dataclass
+class ObservationProducts:
+    fil_path: Optional[str]
+    candidates: List[dd.Candidate]
+    seconds: int
+    rt_factor: float
+    dropped: int = 0
+
+
+class StationPipeline:
+    """One antenna stream end-to-end on this host."""
+
+    def __init__(self, station_id: int, cfg: PipelineConfig,
+                 scfg: SearchConfig, out_dir: str = "/tmp/vfast",
+                 ring_seconds: int = 8, keep_ring: bool = True):
+        self.station_id = station_id
+        self.cfg = cfg
+        self.scfg = scfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.log = make_logger(f"station{station_id:02d}")
+        self.metrics = Metrics()
+        sec_bytes = cfg.npol_in * cfg.sample_rate
+        self.ring: Optional[RingBuffer] = None
+        if keep_ring:
+            self.ring = RingBuffer(f"/vfast_bb_{station_id:02d}",
+                                   bufsz=sec_bytes, nbufs=ring_seconds,
+                                   create=True)
+        freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                    - 0.5) * cfg.chan_bw_mhz
+        self.search = search_mod.SinglePulseSearch(
+            scfg, cfg.tsamp, freqs,
+            nsub=min(128, cfg.nchanout), nbatch=min(scfg.ndm, 128))
+        self.state = dsp.init_state(cfg)
+        self._fb_accum: List[np.ndarray] = []
+        self._searched_to = 0
+        self._out_samps_per_sec = cfg.seg_per_sec * cfg.out_samps_per_seg
+
+    def _fil_header(self, od: ObservationDocument,
+                    tstart_unix: float) -> sigproc.FilterbankHeader:
+        cfg = self.cfg
+        return sigproc.FilterbankHeader(
+            source_name=od.name or "unknown",
+            telescope_id=self.station_id,
+            src_raj=sigproc.radians_to_sigproc(od.ra, True),
+            src_dej=sigproc.radians_to_sigproc(od.dec, False),
+            fch1=cfg.fch1_mhz, foff=cfg.chan_bw_mhz, nchans=cfg.nchanout,
+            nbits=cfg.nbit, tstart=tstart_unix / 86400.0 + 40587.0,
+            tsamp=cfg.tsamp, nifs=cfg.npol_out)
+
+    def run_observation(self, seconds: Iterable, od: ObservationDocument,
+                        write_fil: bool = True,
+                        search_live: bool = True) -> ObservationProducts:
+        """seconds: iterable of (unix_second, samples[npol, rate] uint8)."""
+        cfg = self.cfg
+        self.state = dsp.init_state(cfg)   # EMA reseeds per obs (SURVEY 5)
+        self._fb_accum, self._searched_to = [], 0
+        rt = RTMonitor()
+        fil = None
+        fil_path = None
+        cands: List[dd.Candidate] = []
+        nsec = 0
+        t0_unix = None
+        if self.ring is not None:
+            self.ring.set_obs_header(od.to_ascii_header(self.station_id))
+        for sec, buf in seconds:
+            if t0_unix is None:
+                t0_unix = float(sec)
+                if write_fil:
+                    stamp = time.strftime("%Y%m%d_%H%M%S",
+                                          time.gmtime(t0_unix))
+                    fil_path = os.path.join(
+                        self.out_dir,
+                        f"{stamp}_ea{self.station_id:02d}.fil")
+                    fil = sigproc.FilterbankWriter(
+                        fil_path, self._fil_header(od, t0_unix))
+            if self.ring is not None:
+                self.ring.write(buf.reshape(-1), timestamp=float(sec),
+                                flags=FLAG_OBS_START if nsec == 0 else 0,
+                                overwrite=True)
+            arm = jnp.asarray(cfg.inject_frb and nsec % C.INJECT_PERIOD_S == 0)
+            out, self.state = dsp.process_second(
+                cfg, jnp.asarray(buf), self.state, arm)
+            packed = np.asarray(out.packed_kur if cfg.rfi_mode else
+                                out.packed)
+            if fil is not None:
+                fil.write_block(packed)
+            self._fb_accum.append(packed)
+            nsec += 1
+            deficit = rt.add(1.0)
+            if deficit is not None:
+                self.log.warning("falling behind real time by %.2f s",
+                                 deficit)
+            if search_live:
+                cands.extend(self._search_ready())
+        cands.extend(self._search_ready(flush=True))
+        if fil is not None:
+            fil.close()
+        self.metrics.set("vfast_rt_factor", rt.realtime_factor)
+        self.metrics.set("vfast_candidates", len(cands))
+        return ObservationProducts(
+            fil_path=fil_path, candidates=cands, seconds=nsec,
+            rt_factor=rt.realtime_factor,
+            dropped=self.ring.dropped if self.ring else 0)
+
+    def _search_ready(self, flush: bool = False) -> List[dd.Candidate]:
+        """Search any complete gulps accumulated since the last call."""
+        gulp = self.scfg.gulp_samps
+        overlap = self.search.overlap
+        total = sum(b.shape[0] for b in self._fb_accum)
+        out: List[dd.Candidate] = []
+        while total - self._searched_to >= gulp + overlap or (
+                flush and total - self._searched_to > overlap + 64):
+            fb_all = search_mod.filterbank_from_packed(
+                np.concatenate(self._fb_accum, axis=0),
+                self.cfg.nbit, self.cfg.nchanout)
+            block = fb_all[self._searched_to:
+                           self._searched_to + gulp + overlap]
+            out.extend(self.search.search_gulp(
+                block, t_offset=self._searched_to))
+            self._searched_to += min(gulp, block.shape[0] - overlap)
+            if flush and total - self._searched_to <= overlap + 64:
+                break
+        return out
+
+    def close(self):
+        if self.ring is not None:
+            self.ring.close(unlink=True)
+
+
+class ArrayPipeline:
+    """N stations + coincidencer + triggered dumps (the cluster roles of
+    messenger/trigger.py/dumper on one host or one host's share)."""
+
+    def __init__(self, acfg: ArrayConfig, out_dir: str = "/tmp/vfast",
+                 keep_rings: bool = True):
+        self.acfg = acfg
+        self.out_dir = out_dir
+        self.stations = [
+            StationPipeline(a.station_id, acfg.pipeline, acfg.search,
+                            out_dir=out_dir, keep_ring=keep_rings)
+            for a in acfg.antennas]
+        self.tcfg = acfg.trigger
+        self.log = make_logger("array")
+
+    def run_observation(self, per_ant_seconds: Dict[int, Iterable],
+                        od: ObservationDocument) -> dict:
+        products = {}
+        for st in self.stations:
+            products[st.station_id] = st.run_observation(
+                per_ant_seconds[st.station_id], od)
+        per_beam = {sid: p.candidates for sid, p in products.items()}
+        coincided = trig.coincidence(per_beam, self.acfg.pipeline.tsamp,
+                                     delta_dm=self.tcfg.delta_dm,
+                                     delta_w=self.tcfg.delta_w)
+        # dump windows are referenced to the observation start time
+        triggers = trig.make_triggers(coincided, od.start_time, self.tcfg)
+        dumps = []
+        for st in self.stations:
+            if st.ring is None:
+                continue
+            dmp = TriggeredDumper(st.ring, os.path.join(self.out_dir,
+                                                        "dumps"),
+                                  station_id=st.station_id,
+                                  max_dump_s=self.tcfg.max_dump_s)
+            for t in triggers:
+                rec = dmp.dump(t)
+                if rec:
+                    dumps.append(rec)
+        return {"products": products, "triggers": triggers, "dumps": dumps}
+
+    def close(self):
+        for st in self.stations:
+            st.close()

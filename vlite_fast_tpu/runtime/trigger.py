@@ -1,0 +1,159 @@
+"""Cross-beam coincidencing and triggering (the L5b trigger plane).
+
+Re-design of the reference's coincidencer service (src/trigger.py:37-176)
+and candidate matching (src/candidate.py:49-114): heimdall's TCP candidate
+batches become in-process lists of Candidate records from models/search.py;
+the UDP-multicast trigger_t struct (src/utils.h:47-57) becomes a typed
+Trigger record with the same binary wire format available for
+interoperability.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vlite_fast_tpu import constants as C
+from vlite_fast_tpu.config import TriggerConfig
+from vlite_fast_tpu.ops.dedisperse import Candidate
+
+
+@dataclass
+class BeamCandidate:
+    """A search candidate tagged with its beam (antenna stream)."""
+
+    cand: Candidate
+    beam: int
+    tsamp: float = 1.0 / 1280
+    beam_mask: np.ndarray = field(default=None)
+
+    @property
+    def width_s(self) -> float:
+        return (self.cand.i1 - self.cand.i0) * self.tsamp
+
+    def overlaps(self, other: "BeamCandidate", delta_dm: float = 0.1,
+                 delta_w: float = 3.0) -> bool:
+        """DM within delta_dm fractionally, width ratio < delta_w, and time
+        intervals overlap (ref src/candidate.py:49-64)."""
+        a, b = self.cand, other.cand
+        if b.dm == 0 or abs(a.dm / b.dm - 1) > delta_dm:
+            return False
+        w1, w2 = max(self.width_s, 1e-9), max(other.width_s, 1e-9)
+        if (w2 / w1 if w1 < w2 else w1 / w2) > delta_w:
+            return False
+        if a.i0 < b.i0:
+            return b.i0 < a.i1
+        return a.i0 < b.i1
+
+
+def coincidence(per_beam: Dict[int, Sequence[Candidate]], tsamp: float,
+                delta_dm: float = 0.1, delta_w: float = 3.0,
+                tslice_s: float = 1.0) -> List[BeamCandidate]:
+    """Cross-beam correlation in time slices (ref src/candidate.py:69-114).
+
+    per_beam: {beam_index: [Candidate, ...]}.  Returns all candidates with
+    beam_mask[b] = number of overlapping candidates seen in beam b.
+    """
+    beams = sorted(per_beam.keys())
+    nbeam = len(beams)
+    beam_of = {b: i for i, b in enumerate(beams)}
+    allc: List[BeamCandidate] = []
+    for b in beams:
+        for c in per_beam[b]:
+            allc.append(BeamCandidate(c, b, tsamp,
+                                      np.zeros(nbeam, np.int16)))
+    if not allc:
+        return []
+    allc.sort(key=lambda x: x.cand.i1)
+    end_times = np.array([x.cand.i1 * tsamp for x in allc])
+    nslice = int(end_times[-1] / tslice_s) + 1
+    idx0 = 0
+    prev: List[BeamCandidate] = []
+    for i in range(nslice):
+        idx1 = int(np.searchsorted(end_times, tslice_s * (i + 1)))
+        these = allc[idx0:idx1]
+        for cand in these:
+            for other in these:
+                if cand.overlaps(other, delta_dm, delta_w):
+                    cand.beam_mask[beam_of[other.beam]] += 1
+            for other in prev:
+                if cand.overlaps(other, delta_dm, delta_w):
+                    cand.beam_mask[beam_of[other.beam]] += 1
+        prev = these
+        idx0 = idx1
+    return allc
+
+
+@dataclass
+class Trigger:
+    """Dump-window request (ref trigger_t, src/utils.h:47-57)."""
+
+    t0: float            # window start [unix seconds]
+    t1: float            # window end   [unix seconds]
+    sn: float
+    dm: float
+    width: float
+    peak_time: float
+    meta: str = ""
+
+    _FMT = "<ddffff128s"  # binary wire format (trigger_t layout)
+
+    def pack(self) -> bytes:
+        return struct.pack(self._FMT, self.t0, self.t1, self.sn, self.dm,
+                           self.width, self.peak_time,
+                           self.meta.encode()[:128])
+
+    @classmethod
+    def unpack(cls, buf: bytes) -> "Trigger":
+        t0, t1, sn, dm, w, pt, meta = struct.unpack(cls._FMT, buf[:168])
+        return cls(t0, t1, sn, dm, w, pt,
+                   meta.split(b"\0", 1)[0].decode(errors="replace"))
+
+
+def make_triggers(coincided: List[BeamCandidate], utc_start: float,
+                  cfg: TriggerConfig = TriggerConfig()) -> List[Trigger]:
+    """Apply the trigger cuts and map candidates to dump windows.
+
+    Cuts (ref src/trigger.py:45-65,148): S/N > snr_thresh, >= min_beams
+    coincident beams, width < max_width_s, DM > min_dm.  Window mapping
+    (ref src/trigger.py:155-173): [i0*tsamp - pre, i0 + width + DM sweep
+    + post] relative to utc_start.
+    """
+    out: List[Trigger] = []
+    for bc in coincided:
+        c = bc.cand
+        nbeam = int((bc.beam_mask > 0).sum())
+        if nbeam < cfg.min_beams:
+            continue
+        if bc.width_s >= cfg.max_width_s:
+            continue
+        if c.dm <= cfg.min_dm:
+            continue
+        if c.snr <= cfg.snr_thresh:
+            continue
+        dm_delay = c.dm * C.DM_DELAY_PER_DM
+        dump_offs = c.i0 * bc.tsamp
+        dump_len = (c.i1 - c.i0) * bc.tsamp + dm_delay
+        t0 = utc_start + dump_offs - cfg.buffer_pre_s
+        t1 = t0 + dump_len + cfg.buffer_pre_s + cfg.buffer_post_s
+        if t1 - t0 > cfg.max_dump_s:
+            t1 = t0 + cfg.max_dump_s
+        out.append(Trigger(t0=t0, t1=t1, sn=c.snr, dm=c.dm,
+                           width=bc.width_s, peak_time=c.peak_time,
+                           meta=f"beam{bc.beam} nbeam{nbeam}"))
+    # dedup: merge overlapping windows (multiple coincident candidates)
+    out.sort(key=lambda t: t.t0)
+    merged: List[Trigger] = []
+    for t in out:
+        if merged and t.t0 < merged[-1].t1 and \
+                (max(t.t1, merged[-1].t1) - merged[-1].t0) <= cfg.max_dump_s:
+            last = merged[-1]
+            last.t1 = max(last.t1, t.t1)
+            if t.sn > last.sn:
+                last.sn, last.dm, last.width = t.sn, t.dm, t.width
+        else:
+            merged.append(Trigger(**t.__dict__))
+    return merged
