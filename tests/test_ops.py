@@ -112,6 +112,36 @@ class TestNormalize:
         # good unit-power spectra normalize to ~0
         assert np.all(np.abs(out[0, 7]) < 1e-4)
 
+    def test_assoc_matches_scan(self):
+        rng = np.random.default_rng(2)
+        p = rng.chisquare(2, (2, 64, 16)).astype(np.float32)
+        bp0 = np.zeros((2, 16), np.float32)
+        o1, b1 = normalize.normalize_ema(jnp.asarray(p), jnp.asarray(bp0),
+                                         0.02)
+        o2, b2 = normalize.normalize_ema_assoc(jnp.asarray(p),
+                                               jnp.asarray(bp0), 0.02)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=5e-4)
+
+    def test_assoc_weighted_matches_scan(self):
+        rng = np.random.default_rng(3)
+        p = rng.chisquare(2, (2, 64, 16)).astype(np.float32)
+        p[0, 20] *= 100.0                # clip event
+        w = np.ones((2, 64), np.float32)
+        w[:, 10] = 0.0                   # dead spectrum
+        w[1, 30:35] = 0.5
+        bp0 = np.zeros((2, 16), np.float32)
+        o1, b1 = normalize.normalize_ema_weighted(
+            jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.02)
+        o2, b2 = normalize.normalize_ema_weighted_assoc(
+            jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.02)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=2e-3)
+
     def test_pscrunch(self):
         x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
         out = np.asarray(normalize.pscrunch(jnp.asarray(x)))

@@ -45,6 +45,7 @@ class PipelineConfig:
     inject_width_s: float = C.INJECT_WIDTH_S
     inject_amp: float = C.INJECT_AMP
     # thresholds (ref src/process_baseband.h:35-46)
+    ema_assoc: bool = True         # log-depth associative-scan bandpass EMA
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH
     min_weight: float = C.MIN_WEIGHT

@@ -105,9 +105,14 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
                                       cfg.inject_amp)
         return jnp.where(state.segs_since_inject >= 0, injected, spec)
 
+    ema = (norm_ops.normalize_ema_assoc if cfg.ema_assoc
+           else norm_ops.normalize_ema)
+    ema_w = (norm_ops.normalize_ema_weighted_assoc if cfg.ema_assoc
+             else norm_ops.normalize_ema_weighted)
+
     def finish_plain(spec, bp):
         p = norm_ops.detect(spec)
-        out, bp_new = norm_ops.normalize_ema(p, bp, cfg.bp_scale)
+        out, bp_new = ema(p, bp, cfg.bp_scale)
         if cfg.npol_out == 1 and cfg.npol_in == 2:
             out = norm_ops.pscrunch(out)
         out = norm_ops.tscrunch(out, cfg.nscrunch)
@@ -116,8 +121,7 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
 
     def finish_kur(spec, bp):
         p = norm_ops.detect(spec)
-        out, bp_new = norm_ops.normalize_ema_weighted(
-            p, weights, bp, cfg.bp_scale)
+        out, bp_new = ema_w(p, weights, bp, cfg.bp_scale)
         w = weights
         if cfg.npol_out == 1 and cfg.npol_in == 2:
             out, w = norm_ops.pscrunch_weights(out, w, cfg.min_weight)

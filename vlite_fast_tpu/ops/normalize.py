@@ -96,6 +96,88 @@ def normalize_ema_weighted(power: jax.Array, weights: jax.Array,
     return jnp.swapaxes(out, 0, 1), bp_f
 
 
+def _affine_scan(a: jax.Array, b: jax.Array, bp0: jax.Array) -> jax.Array:
+    """All states of the recurrence bp_t = a_t*bp_{t-1} + b_t, computed in
+    log depth with an associative scan (time axis 0).
+
+    The composition of two affine updates is affine:
+    (a1,b1) then (a2,b2) == (a1*a2, a2*b1 + b2) — so the EMA's 10240
+    sequential steps per second become ~14 fully-vectorized passes, which
+    is what makes the bandpass tracker TPU-shaped instead of a serial loop
+    (the CUDA reference walks time serially per channel-thread,
+    pb_kernels.cu:413-428).
+    """
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    aa, bb = jax.lax.associative_scan(combine, (a, b), axis=0)
+    return aa * bp0[None] + bb
+
+
+@partial(jax.jit, static_argnames=())
+def normalize_ema_assoc(power: jax.Array, bp: jax.Array,
+                        scale: float) -> tuple[jax.Array, jax.Array]:
+    """Log-depth equivalent of normalize_ema (identical math, different
+    summation order; agreement to f32 rounding)."""
+    seed = jnp.mean(power, axis=1)
+    bp0 = jnp.where(bp == 0.0, seed, bp)
+    p = jnp.swapaxes(power, 0, 1)                      # (T, npol, nchan)
+    a = jnp.full_like(p, 1.0 - scale)
+    bp_t = _affine_scan(a, scale * p, bp0)
+    out = p / bp_t - 1.0
+    return jnp.swapaxes(out, 0, 1), bp_t[-1]
+
+
+@partial(jax.jit, static_argnames=("refine",))
+def normalize_ema_weighted_assoc(power: jax.Array, weights: jax.Array,
+                                 bp: jax.Array, scale: float,
+                                 clip_ratio: float = C.BP_CLIP_RATIO,
+                                 clip_value: float = C.BP_CLIP_VALUE,
+                                 refine: int = 1
+                                 ) -> tuple[jax.Array, jax.Array]:
+    """Log-depth detect_and_normalize3.
+
+    The clip decision (p > clip_ratio * running bp) makes the recurrence
+    nonlinear, so this solves it by fixed-point iteration: compute the
+    bandpass ignoring clips, decide the clip mask against it, then redo the
+    (now linear, mask-conditioned) recurrence exactly; `refine` extra
+    rounds re-decide against the updated bandpass.  Clips fire less than
+    ~once per 1.5 s by design (ref pb_kernels.cu:483-494), so one round
+    almost always reaches the sequential fixed point.
+    """
+    w3 = weights[:, :, None]
+    good = w3 > 0.0
+    pw = jnp.where(good, power / jnp.where(good, w3, 1.0), 0.0)
+    ngood = jnp.sum(good, axis=1)
+    seed = jnp.where(ngood > 0,
+                     jnp.sum(pw, axis=1) / jnp.maximum(ngood, 1), 1.0)
+    bp0 = jnp.where(bp == 0.0, seed, bp)
+
+    p = jnp.swapaxes(pw, 0, 1)                         # (T, npol, nchan)
+    g = jnp.swapaxes(good, 0, 1)
+
+    def solve(update_mask):
+        a = jnp.where(update_mask, 1.0 - scale, 1.0)
+        b = jnp.where(update_mask, scale * p, 0.0)
+        return _affine_scan(a, b, bp0)
+
+    def decide(bp_t):
+        bp_prev = jnp.concatenate([bp0[None], bp_t[:-1]], axis=0)
+        return g & (p <= clip_ratio * bp_prev)
+
+    bp_t = solve(g)                 # pass ignoring clips
+    update = decide(bp_t)
+    bp_t = solve(update)
+    for _ in range(refine):
+        update = decide(bp_t)
+        bp_t = solve(update)
+    clipped = g & (~update)
+    out = jnp.where(g, jnp.where(clipped, clip_value, p / bp_t - 1.0), 0.0)
+    return jnp.swapaxes(out, 0, 1), bp_t[-1]
+
+
 def pscrunch(x: jax.Array) -> jax.Array:
     """Sum polarizations, variance-normalized (ref src/pb_kernels.cu:514-524).
 
