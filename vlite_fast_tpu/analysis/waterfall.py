@@ -1,0 +1,57 @@
+"""Filterbank waterfall products (the make_plots/coarse_waterfall role,
+ref src/make_plots.py:17-160, src/coarse_waterfall.py): downsample a
+filterbank to a displayable time-frequency image and optionally render a
+PNG per observation for the monitoring page."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from vlite_fast_tpu.utils import sigproc
+
+
+def downsample(data: np.ndarray, max_time: int = 2048,
+               max_chan: int = 512) -> np.ndarray:
+    """Block-average (ntime, nchan) to at most (max_time, max_chan)."""
+    nt, nc = data.shape
+    ft = max(1, nt // max_time)
+    fc = max(1, nc // max_chan)
+    nt2, nc2 = nt - nt % ft, nc - nc % fc
+    d = data[:nt2, :nc2].reshape(nt2 // ft, ft, nc2 // fc, fc)
+    return d.mean(axis=(1, 3))
+
+
+def waterfall_from_fil(path: str, max_time: int = 2048,
+                       max_chan: int = 512) -> Tuple[np.ndarray, dict]:
+    hdr, data = sigproc.read_filterbank(path)
+    wf = downsample(data, max_time, max_chan)
+    meta = {"tsamp": hdr.tsamp * (data.shape[0] // wf.shape[0]),
+            "fch1": hdr.fch1,
+            "foff": hdr.foff * (data.shape[1] // wf.shape[1]),
+            "source": hdr.source_name}
+    return wf, meta
+
+
+def render_png(wf: np.ndarray, meta: dict, out_path: str,
+               vmin_pct: float = 5, vmax_pct: float = 95) -> str:
+    """Render a waterfall PNG (matplotlib, headless)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    lo, hi = np.percentile(wf, [vmin_pct, vmax_pct])
+    fig, ax = plt.subplots(figsize=(10, 6), dpi=100)
+    extent = [0, wf.shape[0] * meta.get("tsamp", 1.0),
+              meta.get("fch1", 0) + wf.shape[1] * meta.get("foff", -1),
+              meta.get("fch1", 0)]
+    ax.imshow(wf.T, aspect="auto", origin="upper", vmin=lo, vmax=hi,
+              extent=extent, cmap="viridis")
+    ax.set_xlabel("time [s]")
+    ax.set_ylabel("frequency [MHz]")
+    ax.set_title(meta.get("source", ""))
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

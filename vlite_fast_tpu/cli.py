@@ -1,0 +1,201 @@
+"""Command-line entry points: the reference's binaries/scripts as one CLI.
+
+python -m vlite_fast_tpu.cli <command>:
+
+  synth      generate synthetic dispersed baseband VDIF (genbase role)
+  process    run the DSP chain over a .vdif file -> .fil (+candidates)
+             (readbase + process_baseband + heimdall roles)
+  search     search an existing .fil for single pulses
+  waterfall  render a .fil waterfall PNG (make_plots role)
+  unwrap     check/repair dump frame continuity (db_unwrap role)
+  send-cmd   publish a command on a leader bus (send_commands.py role)
+  bench      the headline benchmark (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_synth(args):
+    from vlite_fast_tpu.models import synthesis
+    cfg = synthesis.SynthConfig(
+        tobs=args.seconds, dm=args.dm, pulse_period=args.period,
+        skip_period=args.skip, amp=args.amp, seed=args.seed,
+        add_rfi=args.rfi,
+        sample_rate=args.rate, freq_bot_mhz=args.freq_bot,
+        bandwidth_mhz=args.bandwidth,
+        buflen=args.buflen)
+    stream, info = synthesis.generate_vdif(cfg, station_id=args.station)
+    stream.tofile(args.out)
+    print(json.dumps({"out": args.out, "nbytes": int(stream.size),
+                      "n_dm_samp": info["n_dm_samp"],
+                      "period_samples": info["period"]}))
+
+
+def cmd_process(args):
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.runtime.capture import replay_file
+    from vlite_fast_tpu.runtime.control import ObservationDocument
+    from vlite_fast_tpu.runtime.pipeline import StationPipeline
+
+    cfg = PipelineConfig(nbit=args.nbit, rfi_mode=args.rfi_mode,
+                         inject_frb=args.inject) \
+        if args.rate == 128_000_000 else \
+        PipelineConfig.tiny(nbit=args.nbit, rfi_mode=args.rfi_mode,
+                            sample_rate=args.rate,
+                            freq_top_mhz=args.freq_top,
+                            bandwidth_mhz=args.bandwidth)
+    scfg = SearchConfig() if args.rate == 128_000_000 else \
+        SearchConfig(dm_min=0, dm_max=args.dm_max, ndm=args.ndm,
+                     gulp_samps=512, boxcar_max=16, zap_ranges=())
+    st = StationPipeline(args.station, cfg, scfg, out_dir=args.out_dir,
+                         keep_ring=False)
+    secs = ((sec, buf) for sec, buf, _ in replay_file(args.vdif))
+    od = ObservationDocument(name=args.name, scan_no=2)
+    prod = st.run_observation(secs, od)
+    print(json.dumps({
+        "fil": prod.fil_path, "seconds": prod.seconds,
+        "rt_factor": round(prod.rt_factor, 3),
+        "candidates": [c.to_line() for c in prod.candidates]}))
+    st.close()
+
+
+def cmd_search(args):
+    from vlite_fast_tpu.config import SearchConfig
+    from vlite_fast_tpu.models.search import SinglePulseSearch
+    from vlite_fast_tpu.utils import sigproc
+
+    hdr, data = sigproc.read_filterbank(args.fil)
+    # recenter quantized levels like the in-pipeline search
+    if hdr.nbits == 2:
+        cent = np.array([-1.24, -0.098, 0.85, 1.94], np.float32)
+        data = cent[data.astype(np.int32)]
+    elif hdr.nbits == 4:
+        data = (data - 7.5) * 0.3188
+    else:
+        data = (data - 127.5) * 0.02957
+    freqs = hdr.fch1 + np.arange(hdr.nchans) * hdr.foff
+    scfg = SearchConfig(dm_min=args.dm_min, dm_max=args.dm_max,
+                        ndm=args.ndm, gulp_samps=args.gulp,
+                        boxcar_max=args.boxcar, zap_ranges=(),
+                        snr_thresh=args.snr)
+    eng = SinglePulseSearch(scfg, hdr.tsamp, freqs,
+                            nsub=min(128, hdr.nchans),
+                            nbatch=min(args.ndm, 128))
+    cands = eng.search_stream(data.astype(np.float32))
+    for c in cands:
+        print(c.to_line())
+    print(f"# {len(cands)} candidates", file=sys.stderr)
+
+
+def cmd_waterfall(args):
+    from vlite_fast_tpu.analysis.waterfall import (render_png,
+                                                   waterfall_from_fil)
+    wf, meta = waterfall_from_fil(args.fil)
+    out = args.out or args.fil.replace(".fil", ".png")
+    render_png(wf, meta, out)
+    print(out)
+
+
+def cmd_unwrap(args):
+    from vlite_fast_tpu.analysis.unwrap import unwrap_file
+    rep = unwrap_file(args.vdif)
+    print(json.dumps({"nframes": rep.nframes, "clean": rep.clean,
+                      "corrupted": rep.corrupted,
+                      "wrap_frame": rep.wrap_frame,
+                      "discontinuities": list(rep.discontinuities)}))
+    if rep.corrupted:
+        sys.exit(1)
+
+
+def cmd_send_cmd(args):
+    from vlite_fast_tpu.runtime.control import (Command, CommandBus,
+                                                ObservationDocument)
+    bus = CommandBus(port=None)
+    # direct TCP publish to a running leader would attach here; for the
+    # single-process case this validates + prints the message
+    od = None
+    if args.name:
+        od = ObservationDocument(name=args.name, scan_no=2)
+    print(json.dumps({"cmd": Command(args.cmd).value,
+                      "od": od.to_json() if od else None}))
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vlite_fast_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("synth", help="synthetic baseband (genbase role)")
+    s.add_argument("-t", "--seconds", type=float, default=5.0)
+    s.add_argument("-d", "--dm", type=float, default=30.0)
+    s.add_argument("-p", "--period", type=float, default=0.5)
+    s.add_argument("-k", "--skip", type=int, default=1)
+    s.add_argument("-a", "--amp", type=float, default=0.05)
+    s.add_argument("-r", "--seed", type=int, default=42)
+    s.add_argument("-f", "--rfi", action="store_true")
+    s.add_argument("--rate", type=int, default=128_000_000)
+    s.add_argument("--freq-bot", type=float, default=320.0)
+    s.add_argument("--bandwidth", type=float, default=64.0)
+    s.add_argument("--buflen", type=int, default=0)
+    s.add_argument("--station", type=int, default=1)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    s = sub.add_parser("process", help="DSP chain over a .vdif file")
+    s.add_argument("vdif")
+    s.add_argument("--rate", type=int, default=128_000_000)
+    s.add_argument("--freq-top", type=float, default=384.0)
+    s.add_argument("--bandwidth", type=float, default=64.0)
+    s.add_argument("-b", "--nbit", type=int, default=2)
+    s.add_argument("-r", "--rfi-mode", type=int, default=2)
+    s.add_argument("-i", "--inject", action="store_true")
+    s.add_argument("--dm-max", type=float, default=600.0)
+    s.add_argument("--ndm", type=int, default=64)
+    s.add_argument("--name", default="replay")
+    s.add_argument("--station", type=int, default=1)
+    s.add_argument("-o", "--out-dir", default="/tmp/vfast")
+    s.set_defaults(fn=cmd_process)
+
+    s = sub.add_parser("search", help="single-pulse search of a .fil")
+    s.add_argument("fil")
+    s.add_argument("--dm-min", type=float, default=2.0)
+    s.add_argument("--dm-max", type=float, default=1000.0)
+    s.add_argument("--ndm", type=int, default=1024)
+    s.add_argument("--gulp", type=int, default=30720)
+    s.add_argument("--boxcar", type=int, default=64)
+    s.add_argument("--snr", type=float, default=6.0)
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("waterfall", help="render .fil waterfall PNG")
+    s.add_argument("fil")
+    s.add_argument("-o", "--out")
+    s.set_defaults(fn=cmd_waterfall)
+
+    s = sub.add_parser("unwrap", help="check/repair dump continuity")
+    s.add_argument("vdif")
+    s.set_defaults(fn=cmd_unwrap)
+
+    s = sub.add_parser("send-cmd", help="publish a control command")
+    s.add_argument("cmd", choices=[c for c in "SCQEFG"])
+    s.add_argument("--name", default="")
+    s.set_defaults(fn=cmd_send_cmd)
+
+    s = sub.add_parser("bench", help="headline benchmark")
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
