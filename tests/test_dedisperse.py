@@ -42,6 +42,30 @@ def test_exact_plan_matches_oracle():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
 
 
+def test_fourier_matches_oracle():
+    fb, freqs, _ = make_fb()
+    dms = dd.dm_grid(0, 300, 32)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=32)
+    ntime_out = fb.shape[0] - plan.max_delay
+    out = np.asarray(dd.dedisperse_fourier(jnp.asarray(fb), plan, ntime_out,
+                                           batch_chunk=8))
+    full = dd.delay_table(dms, freqs, 2e-3)
+    ref = dd.dedisperse_reference(fb, full, ntime_out)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-2)
+
+
+def test_fourier_matches_subband():
+    fb, freqs, _ = make_fb(ntime=600, nchan=32)
+    dms = dd.dm_grid(0, 300, 64)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=8, nbatch=16)
+    ntime_out = fb.shape[0] - plan.max_delay
+    a = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out,
+                                 dm_chunk=8))
+    b = np.asarray(dd.dedisperse_fourier(jnp.asarray(fb), plan, ntime_out,
+                                         batch_chunk=8))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-2)
+
+
 def test_subband_approx_close():
     fb, freqs, _ = make_fb()
     dms = dd.dm_grid(0, 300, 64)

@@ -1,0 +1,70 @@
+"""Messenger service tests (document feed -> commands + archives)."""
+
+import os
+import time
+
+import pytest
+
+from vlite_fast_tpu.runtime.control import Command, ObservationDocument
+from vlite_fast_tpu.runtime.messenger import Messenger, MessengerConfig
+from tests.test_aux import OBS_XML, FINISH_XML, ANTPROP_XML, ALERT_XML
+
+
+def test_feed_documents(tmp_path):
+    m = Messenger(MessengerConfig(archive_dir=str(tmp_path)))
+    try:
+        cmds = m.feed_xml(OBS_XML)
+        assert cmds == [Command.START]
+        assert m.sm.recording
+        # antprop stored + positions exposed
+        assert m.feed_xml(ANTPROP_XML) == []
+        pos = m.antenna_positions()
+        assert 5 in pos and pos[5][0] == -1601.2
+        # alert recorded
+        assert m.feed_xml(ALERT_XML) == []
+        assert m.alerts[-1].vla_ant == 7
+        # FINISH stops
+        assert m.feed_xml(FINISH_XML) == [Command.STOP]
+        assert not m.sm.recording
+        archived = os.listdir(tmp_path)
+        assert any("obsinfo" in f for f in archived)
+        assert any("antprop" in f for f in archived)
+    finally:
+        m.shutdown()
+
+
+def test_pointing_continuity(tmp_path):
+    m = Messenger(MessengerConfig())
+    try:
+        od1 = ObservationDocument(name="A", ra=1.0, dec=0.5, scan_no=2)
+        od2 = ObservationDocument(name="A", ra=1.0001, dec=0.5, scan_no=3)
+        od3 = ObservationDocument(name="B", ra=2.0, dec=0.1, scan_no=4)
+        assert m.feed_observation(od1) == [Command.START]
+        assert m.feed_observation(od2) == []            # keep integrating
+        assert m.feed_observation(od3) == [Command.STOP, Command.START]
+    finally:
+        m.shutdown()
+
+
+def test_udp_ingest_and_bus():
+    import socket
+    m = Messenger(MessengerConfig(obsinfo_port=38011, command_port=38012))
+    try:
+        from vlite_fast_tpu.runtime.control import CommandClient
+        cli = CommandClient(port=38012)
+        time.sleep(0.3)
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(OBS_XML.encode(), ("127.0.0.1", 38011))
+        s.sendto(b"<garbage", ("127.0.0.1", 38011))   # must not kill leader
+        s.sendto(FINISH_XML.encode(), ("127.0.0.1", 38011))
+        deadline = time.time() + 5
+        got = []
+        while time.time() < deadline and len(got) < 2:
+            got.extend(cli.poll())
+            time.sleep(0.05)
+        assert [c for c, _ in got] == [Command.START, Command.STOP]
+        assert got[0][1].name == "J0534+2200"
+        cli.close()
+        s.close()
+    finally:
+        m.shutdown()

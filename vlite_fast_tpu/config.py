@@ -156,6 +156,7 @@ class SearchConfig:
     zap_ranges: Tuple[Tuple[int, int], ...] = ((0, 190), (3900, 4096))
     max_candidates: int = 4096     # static candidate-buffer size per gulp
     cluster_radius: int = 8        # samples; merge nearby boxcar peaks
+    engine: str = "fourier"        # 'subband' (gathers) | 'fourier' (dense)
 
     @classmethod
     def tiny(cls, **overrides) -> "SearchConfig":

@@ -50,7 +50,10 @@ class SinglePulseSearch:
         """(gulp+overlap, nchan) float32 -> (nwidth, ndm, gulp) S/N."""
         fb = jnp.asarray(fb_block, dtype=jnp.float32)
         ntime_out = fb.shape[0] - self.plan.max_delay
-        dmt = dd.dedisperse(fb, self.plan, ntime_out)
+        if self.scfg.engine == "fourier":
+            dmt = dd.dedisperse_fourier(fb, self.plan, ntime_out)
+        else:
+            dmt = dd.dedisperse(fb, self.plan, ntime_out)
         return dd.boxcar_snr(dmt, self.plan.nchan_eff, self.widths)
 
     def search_gulp(self, fb_block: np.ndarray,

@@ -98,6 +98,8 @@ def make_plan(dms: np.ndarray, freqs_mhz: np.ndarray, tsamp: float,
     nchan = len(freqs_mhz)
     ndm = len(dms)
     nbatch = min(nbatch, ndm)
+    while ndm % nbatch:      # uniform batches (required by the Fourier path)
+        nbatch -= 1
     if nchan % nsub:
         # shrink nsub to a divisor of nchan
         while nchan % nsub:
@@ -174,6 +176,66 @@ def dedisperse(fb: jax.Array, plan: DedispPlan, ntime_out: int,
     b_idx = b_idx.reshape(nchunk, dm_chunk)
     out = jax.lax.map(stage2_chunk, (sub_d, b_idx))      # (nchunk, c, T)
     return out.reshape(nchunk * dm_chunk, ntime_out)[:ndm]
+
+
+@partial(jax.jit, static_argnames=("ntime_out", "batch_chunk"))
+def dedisperse_fourier(fb: jax.Array, plan: DedispPlan, ntime_out: int,
+                       batch_chunk: int = 8) -> jax.Array:
+    """Gather-free dedispersion: time shifts as Fourier phase ramps.
+
+    A shift by integer d is exact in the DFT domain:
+    ifft(X(f) * e^{+2*pi*i*f*d/N})[t] = x[t+d mod N]; zero-padding past the
+    halo keeps the circular wrap out of the valid region.  Both subband
+    stages become dense elementwise multiply-reduce over channels — FFTs,
+    broadcasts and reductions only, no gathered reads — the formulation
+    that keeps the TPU's vector units streaming instead of scalarizing on
+    take_along_axis (see dedisperse() for the time-domain variant).
+
+    fb: (ntime, nchan) with ntime >= ntime_out + plan.max_delay.
+    Returns (ndm, ntime_out).
+    """
+    ntime, nchan = fb.shape
+    nsub = plan.nsub
+    w = nchan // nsub
+    npad = 1 << max(4, int(np.ceil(np.log2(ntime))))
+    fbz = fb * plan.chan_weights[None, :]
+    X = jnp.fft.rfft(fbz, n=npad, axis=0)            # (F, nchan)
+    nfreq = X.shape[0]
+    f = jnp.arange(nfreq, dtype=jnp.float32)
+    omega = (2.0 * np.pi / npad) * f                 # (F,)
+
+    nbatch = plan.rel_delays.shape[0]
+    ndm = plan.sub_delays.shape[0]
+    # group the DM trials by their stage-1 batch so each batch's subband
+    # spectra are built once (trials per batch is uniform by construction)
+    per_batch = ndm // nbatch
+
+    def one_batch(args):
+        rel_b, sub_b = args          # (chunk, nchan), (chunk*per_batch, nsub)
+        theta = omega[None, :, None] * rel_b[:, None, :].astype(jnp.float32)
+        E = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        # y_hat[c, f, s] = sum_w X[f, s*w+w'] * E[c, f, s*w+w']
+        y = (X[None, :, :] * E).reshape(rel_b.shape[0], nfreq, nsub, w)
+        y_hat = jnp.sum(y, axis=-1)                  # (chunk, F, nsub)
+        # stage 2 for this batch's trials
+        sub_b = sub_b.reshape(rel_b.shape[0], per_batch, nsub)
+        theta2 = omega[None, None, :, None] * sub_b[:, :, None, :].astype(
+            jnp.float32)
+        E2 = jax.lax.complex(jnp.cos(theta2), jnp.sin(theta2))
+        out_hat = jnp.sum(y_hat[:, None, :, :] * E2, axis=-1)
+        return out_hat                               # (chunk, per_batch, F)
+
+    batch_chunk = min(batch_chunk, nbatch)
+    nchunk = -(-nbatch // batch_chunk)
+    padb = nchunk * batch_chunk - nbatch
+    rel = jnp.pad(plan.rel_delays, ((0, padb), (0, 0)))
+    sub = jnp.pad(plan.sub_delays, ((0, padb * per_batch), (0, 0)))
+    rel = rel.reshape(nchunk, batch_chunk, nchan)
+    sub = sub.reshape(nchunk, batch_chunk * per_batch, nsub)
+    out_hat = jax.lax.map(one_batch, (rel, sub))
+    out_hat = out_hat.reshape((nbatch + padb) * per_batch, nfreq)[:ndm]
+    out = jnp.fft.irfft(out_hat, n=npad, axis=-1)
+    return out[:, :ntime_out]
 
 
 def dedisperse_reference(fb: np.ndarray, delays: np.ndarray,
