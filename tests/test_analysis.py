@@ -112,6 +112,48 @@ def test_tdoa_clock_offsets():
     assert abs(fit.az - 0.3) < 0.1 and abs(fit.el - 1.0) < 0.1
 
 
+def test_fractional_shift():
+    from vlite_fast_tpu.analysis.beamforming import fractional_shift
+    import jax.numpy as jnp
+    t = np.arange(512)
+    x = np.sin(2 * np.pi * 10 * t / 512).astype(np.float32)
+    y = np.asarray(fractional_shift(jnp.asarray(x), jnp.float32(3.0)))
+    np.testing.assert_allclose(y[:-3], x[3:], atol=1e-4)
+    # half-sample shift of a sine = phase-advanced sine
+    y2 = np.asarray(fractional_shift(jnp.asarray(x), jnp.float32(0.5)))
+    ref = np.sin(2 * np.pi * 10 * (t + 0.5) / 512)
+    np.testing.assert_allclose(y2[10:-10], ref[10:-10], atol=1e-3)
+
+
+def test_beamform_coherent_gain():
+    from vlite_fast_tpu.analysis import beamforming as bf
+    rng = np.random.default_rng(20)
+    n = 200_000
+    pulse = np.zeros(n, np.float32)
+    pulse[100_000:100_200] = 2.0     # common burst
+    common = rng.standard_normal(n).astype(np.float32) * 0.0 + pulse
+    shifts = [0, 17, -9, 25]
+    dumps = []
+    for k, sh in enumerate(shifts):
+        noise = rng.standard_normal((2, n)).astype(np.float32)
+        sig = np.roll(common, -sh)   # antenna k sees burst sh samples early
+        x = sig[None, :] + noise
+        u = np.clip(x / 0.05914 + 128.5, 0, 255).astype(np.uint8)
+        dumps.append(bb.VoltageDump(samples=u, start_time=50.0,
+                                    station_id=k + 1, sample_rate=RATE))
+    delays = np.array(shifts) / RATE
+    beam = bf.beamform(dumps, delays_s=-delays)
+    x = beam.voltages()
+    p = (x ** 2).mean(axis=0)
+    on = p[100_000:100_200].mean()
+    off = p[:50_000].mean()
+    # coherent gain: signal power ~ N * single-antenna, noise stays ~1
+    single = (dumps[0].voltages() ** 2).mean(axis=0)
+    gain = (on - off) / (single[100_000:100_200].mean()
+                         - single[:50_000].mean())
+    assert gain > 2.5   # ideal 4 antennas -> 4x power
+
+
 def test_refine_dm():
     rng = np.random.default_rng(10)
     ntime, nchan = 600, 64

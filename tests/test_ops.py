@@ -221,6 +221,17 @@ def test_channelize_parseval():
     np.testing.assert_allclose(spec, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_matmul_rfft_matches_fft():
+    rng = np.random.default_rng(2)
+    for nfft in (500, 12500 // 5, 144):
+        x = rng.standard_normal((3, 2 * nfft)).astype(np.float32)
+        a = np.asarray(channelize.channelize(jnp.asarray(x), nfft,
+                                             method="matmul"))
+        ref = np.fft.rfft(x.reshape(3, 2, nfft), axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(a / scale, ref / scale, atol=2e-5)
+
+
 def test_polyphase_channelize_shape_and_leakage():
     rng = np.random.default_rng(1)
     nfft, ntap = 64, 4

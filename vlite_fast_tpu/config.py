@@ -46,6 +46,7 @@ class PipelineConfig:
     inject_amp: float = C.INJECT_AMP
     # thresholds (ref src/process_baseband.h:35-46)
     ema_assoc: bool = True         # log-depth associative-scan bandpass EMA
+    channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH
     min_weight: float = C.MIN_WEIGHT

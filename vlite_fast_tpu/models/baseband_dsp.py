@@ -93,7 +93,7 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
 
     def spectra(v):
-        return ch_ops.channelize(v, cfg.nfft)
+        return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer)
 
     def maybe_inject(spec):
         if not cfg.inject_frb:

@@ -20,14 +20,75 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def channelize(x: jax.Array, nfft: int) -> jax.Array:
+def channelize(x: jax.Array, nfft: int, method: str = "fft") -> jax.Array:
     """(npol, nsamp) real voltages -> (npol, nspec, nchan) complex spectra.
 
     nchan = nfft//2 + 1; spectrum s covers samples [s*nfft, (s+1)*nfft).
+
+    method: 'fft' uses XLA's native FFT; 'matmul' uses the Cooley-Tukey
+    MXU decomposition (see matmul_rfft) — on TPU the native lowering of
+    the non-power-of-2 NFFT=12500 measured ~8x slower than the whole rest
+    of the chain, while two factored DFT matmuls ride the MXU at full
+    rate.
     """
     npol, nsamp = x.shape
     frames = x.reshape(npol, nsamp // nfft, nfft)
+    if method == "matmul":
+        return matmul_rfft(frames, nfft)
     return jnp.fft.rfft(frames, axis=-1)
+
+
+@lru_cache(maxsize=8)
+def _ct_split(nfft: int) -> tuple:
+    """Factor nfft = n1 * n2 with the factors as close as possible."""
+    best = None
+    f = int(np.sqrt(nfft))
+    for n1 in range(f, 0, -1):
+        if nfft % n1 == 0:
+            best = (n1, nfft // n1)
+            break
+    if best is None or best[0] == 1:
+        raise ValueError(f"nfft {nfft} has no useful factorization")
+    return best
+
+
+@lru_cache(maxsize=8)
+def _ct_tables(nfft: int) -> tuple:
+    """DFT + twiddle matrices for the two-stage Cooley-Tukey transform
+    (complex64 numpy; converted to device constants at trace time)."""
+    n1, n2 = _ct_split(nfft)
+    i1 = np.arange(n1)
+    i2 = np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(i1, i1) / n1).astype(np.complex64)
+    tw = np.exp(-2j * np.pi * np.outer(i1, i2) / nfft).astype(np.complex64)
+    w2 = np.exp(-2j * np.pi * np.outer(i2, i2) / n2).astype(np.complex64)
+    return w1, tw, w2
+
+
+def matmul_rfft(frames: jax.Array, nfft: int,
+                precision: str = "highest") -> jax.Array:
+    """rfft via two matmul DFT stages on the MXU (Cooley-Tukey, decimation
+    in time): with n = n2*m1 + m2, k = k1 + n1*k2,
+
+      A[k1, m2] = sum_m1 x[m1, m2] W_n1^{m1 k1}      (matmul over m1)
+      B = A * W_nfft^{m2 k1}                          (twiddle)
+      X[k1 + n1 k2] = sum_m2 B[k1, m2] W_n2^{m2 k2}   (matmul over m2)
+
+    frames: (..., nfft) real float32 -> (..., nfft//2+1) complex64.
+    FLOP cost is ~n1+n2 per point instead of log(nfft), which the MXU
+    absorbs; accuracy with 'highest' precision is ~1e-6 relative.
+    """
+    n1, n2 = _ct_split(nfft)
+    w1, tw, w2 = _ct_tables(nfft)
+    batch = frames.shape[:-1]
+    x = frames.reshape(-1, n1, n2).astype(jnp.float32)
+    a = jnp.einsum("bnm,nk->bkm", x, jnp.asarray(w1), precision=precision)
+    b = a * jnp.asarray(tw)[None]
+    full = jnp.einsum("bkm,mj->bkj", b, jnp.asarray(w2),
+                      precision=precision)
+    # linear bin k = k1 + n1*k2 lives at [k2, k1] after transpose
+    lin = jnp.swapaxes(full, -1, -2).reshape(-1, nfft)
+    return lin[:, :nfft // 2 + 1].reshape(*batch, nfft // 2 + 1)
 
 
 @lru_cache(maxsize=8)
