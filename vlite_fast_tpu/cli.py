@@ -126,6 +126,54 @@ def cmd_send_cmd(args):
                       "od": od.to_json() if od else None}))
 
 
+def cmd_merge_cands(args):
+    """Merge per-beam candidate files into one sorted list
+    (the scripts/merge_candidates.py role)."""
+    from vlite_fast_tpu.ops.dedisperse import Candidate
+    cands = []
+    for path in args.files:
+        with open(path) as fp:
+            for line in fp:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    cands.append((path, Candidate.from_line(line)))
+    cands.sort(key=lambda pc: -pc[1].snr)
+    for path, c in cands[:args.top or len(cands)]:
+        print(f"{c.to_line()}\t{path}")
+
+
+def cmd_disk_usage(args):
+    """Report product-directory usage (the scripts/disk_utilization role)."""
+    import os
+    out = {}
+    for d in args.dirs:
+        total = 0
+        nfiles = 0
+        for root, _, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                    nfiles += 1
+                except OSError:
+                    pass
+        out[d] = {"bytes": total, "files": nfiles,
+                  "gb": round(total / 1e9, 3)}
+    print(json.dumps(out))
+
+
+def cmd_print_obsdoc(args):
+    """Parse + pretty-print VLA XML documents
+    (the print_obsdocs/print_antprop role)."""
+    from dataclasses import asdict
+    from vlite_fast_tpu.runtime import vla_xml
+    with open(args.xml) as fp:
+        doc = vla_xml.parse_scaninfo(fp.read())
+    if hasattr(doc, "to_json"):
+        print(doc.to_json())
+    else:
+        print(json.dumps(asdict(doc), default=str, indent=2))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -189,6 +237,19 @@ def main(argv=None):
     s.add_argument("cmd", choices=[c for c in "SCQEFG"])
     s.add_argument("--name", default="")
     s.set_defaults(fn=cmd_send_cmd)
+
+    s = sub.add_parser("merge-cands", help="merge per-beam candidate files")
+    s.add_argument("files", nargs="+")
+    s.add_argument("--top", type=int, default=0)
+    s.set_defaults(fn=cmd_merge_cands)
+
+    s = sub.add_parser("disk-usage", help="product directory usage")
+    s.add_argument("dirs", nargs="+")
+    s.set_defaults(fn=cmd_disk_usage)
+
+    s = sub.add_parser("print-obsdoc", help="parse + print a VLA XML doc")
+    s.add_argument("xml")
+    s.set_defaults(fn=cmd_print_obsdoc)
 
     s = sub.add_parser("bench", help="headline benchmark")
     s.set_defaults(fn=cmd_bench)

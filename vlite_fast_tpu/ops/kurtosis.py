@@ -126,6 +126,15 @@ def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
     return masked, jnp.broadcast_to(weights, (npol, nblk))
 
 
+def sample_histogram(u: jax.Array, nbins: int = 256) -> jax.Array:
+    """Per-polarization raw-sample histograms (the DOHISTO diagnostic,
+    ref histogram kernel src/pb_kernels.cu:321-336).
+    u: (npol, nsamp) uint8 -> (npol, nbins) int32."""
+    def one(row):
+        return jnp.bincount(row.astype(jnp.int32), length=nbins)
+    return jax.vmap(one)(u)
+
+
 @partial(jax.jit, static_argnames=("nkurto", "nfft", "fake"))
 def rfi_excise(x: jax.Array, nkurto: int, nfft: int,
                dag_thresh: float = C.DAG_THRESH,

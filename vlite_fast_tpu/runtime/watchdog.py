@@ -71,6 +71,28 @@ def ping(host: str, timeout_s: float = 2.0) -> bool:
         return False
 
 
+def email_notifier(to_addrs: List[str], from_addr: str = "vfast@localhost",
+                   smtp_host: str = "localhost",
+                   subject: str = "VLITE-Fast alert") -> Callable[[str], None]:
+    """Alert delivery hook (the send_email role, ref src/util.c:154-181,
+    src/send_email.py).  Returns a notify(msg) callable; failures to send
+    are swallowed (alerts must never crash the pipeline)."""
+    def notify(msg: str) -> None:
+        try:
+            import smtplib
+            from email.message import EmailMessage
+            em = EmailMessage()
+            em["From"] = from_addr
+            em["To"] = ", ".join(to_addrs)
+            em["Subject"] = subject
+            em.set_content(msg)
+            with smtplib.SMTP(smtp_host, timeout=10) as s:
+                s.send_message(em)
+        except Exception:
+            pass
+    return notify
+
+
 def check_nodes(hosts: List[str],
                 notify: Optional[Callable[[str], None]] = None) -> Dict[str, bool]:
     """Ping every host; call notify(msg) for down nodes (the email role
