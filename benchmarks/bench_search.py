@@ -6,9 +6,13 @@ for keeping up with one antenna's filterbank stream (1280 samp/s)."""
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(gulp=30720, nchan=4096, ndm=1024, small=False):

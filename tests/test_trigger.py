@@ -77,6 +77,24 @@ def test_trigger_wire_roundtrip():
     assert t2.meta == t.meta
 
 
+def test_trigger_udp_fanout():
+    import time as _t
+    rx = trig.TriggerReceiver(port=37903)
+    tx = trig.TriggerSender([("127.0.0.1", 37903)])
+    try:
+        t = trig.Trigger(t0=10.0, t1=12.0, sn=9.5, dm=55.0, width=0.004,
+                         peak_time=11.0, meta="fanout")
+        tx.send(t)
+        _t.sleep(0.2)
+        got = rx.poll()
+        assert len(got) == 1
+        assert got[0].t0 == 10.0 and abs(got[0].dm - 55.0) < 1e-6
+        assert got[0].meta == "fanout"
+    finally:
+        tx.close()
+        rx.close()
+
+
 def test_window_merge():
     cfg = TriggerConfig()
     # two coincident events overlapping in time merge into one dump window

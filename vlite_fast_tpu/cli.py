@@ -55,7 +55,8 @@ def cmd_process(args):
                      gulp_samps=512, boxcar_max=16, zap_ranges=())
     st = StationPipeline(args.station, cfg, scfg, out_dir=args.out_dir,
                          keep_ring=False)
-    secs = ((sec, buf) for sec, buf, _ in replay_file(args.vdif))
+    secs = ((sec, buf) for sec, buf, _ in
+            replay_file(args.vdif, sample_rate=cfg.sample_rate))
     od = ObservationDocument(name=args.name, scan_no=2)
     prod = st.run_observation(secs, od)
     print(json.dumps({

@@ -92,6 +92,16 @@ class SecondAssembler:
         self.stats.frames += 1
         return done
 
+    def flush(self) -> list:
+        """End-of-stream: emit the in-progress second (replay only; live
+        capture flushes on the next second's first frame)."""
+        if not self._started or self._filled == 0:
+            return []
+        out = [self._flush()]
+        self.stats.seconds += 1
+        self._current_sec += 1
+        return out
+
     def feed_stream(self, raw: np.ndarray):
         """Feed a contiguous byte stream of frames; yields completed secs."""
         frame_bytes = C.VDIF_FRAME_BYTES
@@ -110,17 +120,27 @@ class SecondAssembler:
         return done
 
 
-def replay_file(path: str, chunk_frames: int = 4096) -> Iterator[tuple]:
+def to_unix(vdif_seconds: int, ref_epoch: int) -> float:
+    """VDIF (ref_epoch, seconds) -> unix seconds (the vdif_to_unixepoch
+    conversion every downstream timestamp uses, ref src/utils.c:498-521)."""
+    return float(vdif._epoch_unix(ref_epoch)) + float(vdif_seconds)
+
+
+def replay_file(path: str, chunk_frames: int = 4096,
+                sample_rate: int = C.VLITE_RATE) -> Iterator[tuple]:
     """readbase equivalent: stream completed seconds from a recorded .vdif
-    dump (ref src/readbase.c:35-107, scripts/readbase_test)."""
-    asm = SecondAssembler()
+    dump (ref src/readbase.c:35-107, scripts/readbase_test).
+    Yields (unix_second, samples, ref_epoch)."""
+    asm = SecondAssembler(sample_rate=sample_rate)
     with open(path, "rb") as fp:
         while True:
             raw = fp.read(chunk_frames * C.VDIF_FRAME_BYTES)
             if not raw:
                 break
             for sec, buf in asm.feed_stream(np.frombuffer(raw, np.uint8)):
-                yield sec, buf, asm.ref_epoch
+                yield to_unix(sec, asm.ref_epoch), buf, asm.ref_epoch
+    for sec, buf in asm.flush():
+        yield to_unix(sec, asm.ref_epoch), buf, asm.ref_epoch
 
 
 class UDPCapture:
@@ -137,7 +157,8 @@ class UDPCapture:
 
     def poll(self, max_frames: int = 256) -> list:
         """Receive up to max_frames datagrams (the reference drains 20 per
-        select wake, writer.c:611-614); returns completed seconds."""
+        select wake, writer.c:611-614); returns completed
+        (unix_second, samples) tuples."""
         done = []
         for _ in range(max_frames):
             try:
@@ -149,7 +170,7 @@ class UDPCapture:
                 continue
             done.extend(self.asm.feed_stream(
                 np.frombuffer(pkt[:C.VDIF_FRAME_BYTES], np.uint8)))
-        return done
+        return [(to_unix(s, self.asm.ref_epoch), b) for s, b in done]
 
     def close(self):
         self.sock.close()

@@ -44,6 +44,7 @@ class ObservationProducts:
     seconds: int
     rt_factor: float
     dropped: int = 0
+    start_unix: float = 0.0   # unix time of the first processed second
 
 
 class StationPipeline:
@@ -140,7 +141,8 @@ class StationPipeline:
         return ObservationProducts(
             fil_path=fil_path, candidates=cands, seconds=nsec,
             rt_factor=rt.realtime_factor,
-            dropped=self.ring.dropped if self.ring else 0)
+            dropped=self.ring.dropped if self.ring else 0,
+            start_unix=t0_unix or 0.0)
 
     def _search_ready(self, flush: bool = False) -> List[dd.Candidate]:
         """Search any complete gulps accumulated since the last call."""

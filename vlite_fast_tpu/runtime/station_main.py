@@ -1,0 +1,176 @@
+"""Per-host station daemon: the production process for one antenna stream.
+
+Replaces the reference's per-node process set (writer + process_baseband +
+heimdall_stream + dumper, launched by scripts/start_* via config/hosts):
+one long-running program that
+
+  * polls the leader's CommandBus for START/STOP/QUIT + observation docs,
+  * captures VDIF (UDP) or replays a file into the baseband history ring,
+  * runs the DSP chain + gulp search per completed second,
+  * streams candidate batches to the central coincidencer,
+  * listens for Trigger structs and serves voltage dumps.
+
+Run: python -m vlite_fast_tpu.runtime.station_main --station 5 \
+       --leader localhost --source udp:20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+from vlite_fast_tpu.config import PipelineConfig, SearchConfig, TriggerConfig
+from vlite_fast_tpu.runtime import capture as cap
+from vlite_fast_tpu.runtime.candidate_server import CandidateClient
+from vlite_fast_tpu.runtime.control import Command, CommandClient, \
+    ObservationDocument
+from vlite_fast_tpu.runtime.dumper import TriggeredDumper
+from vlite_fast_tpu.runtime.pipeline import StationPipeline
+from vlite_fast_tpu.runtime.trigger import TriggerReceiver
+from vlite_fast_tpu.utils.log import make_logger
+
+
+class StationDaemon:
+    def __init__(self, station_id: int, cfg: PipelineConfig,
+                 scfg: SearchConfig, out_dir: str,
+                 leader_host: str = "127.0.0.1",
+                 command_port: Optional[int] = 20001,
+                 coincidencer: Optional[tuple] = ("127.0.0.1", 27555),
+                 trigger_port: Optional[int] = 20003):
+        self.station_id = station_id
+        self.log = make_logger(f"station{station_id:02d}")
+        self.pipeline = StationPipeline(station_id, cfg, scfg,
+                                        out_dir=out_dir)
+        self.cmd: Optional[CommandClient] = None
+        if command_port is not None:
+            self.cmd = CommandClient(host=leader_host, port=command_port)
+        self.cands = (CandidateClient(*coincidencer)
+                      if coincidencer else None)
+        self.dumper = TriggeredDumper(self.pipeline.ring,
+                                      out_dir + "/dumps",
+                                      station_id=station_id)
+        self.trig_rx = (TriggerReceiver(port=trigger_port)
+                        if trigger_port is not None else None)
+        self._stop = threading.Event()
+        self._trigger_thread = None
+        if self.trig_rx is not None:
+            self._trigger_thread = threading.Thread(
+                target=self._trigger_loop, daemon=True)
+            self._trigger_thread.start()
+
+    def _trigger_loop(self):
+        while not self._stop.is_set():
+            for t in self.trig_rx.poll():
+                rec = self.dumper.dump(t)
+                if rec:
+                    self.log.info("dumped %s (%d bytes)", rec.path,
+                                  rec.nbytes)
+
+    def run_observation(self, seconds: Iterator, od: ObservationDocument):
+        """Process one observation's seconds; ship candidates per batch."""
+        prod = self.pipeline.run_observation(seconds, od)
+        if self.cands is not None and prod.candidates:
+            # batch UTC = actual data start so trigger windows map onto the
+            # ring's slot timestamps
+            utc = f"{prod.start_unix:.0f}"
+            try:
+                self.cands.send(utc, self.station_id, prod.candidates)
+            except OSError as e:
+                self.log.warning("coincidencer unreachable: %s", e)
+        return prod
+
+    def serve(self, source: str, poll_s: float = 0.1,
+              max_observations: Optional[int] = None):
+        """Main loop: wait for START, run the observation from `source`
+        ('udp:PORT' or 'file:PATH'), repeat until QUIT."""
+        nobs = 0
+        while not self._stop.is_set():
+            od = None
+            for cmd, cmd_od in (self.cmd.poll() if self.cmd else []):
+                if cmd == Command.QUIT:
+                    self.shutdown()
+                    return
+                if cmd in (Command.START, Command.FAKE_START):
+                    od = cmd_od or ObservationDocument(name="manual",
+                                                       scan_no=2)
+            if od is None:
+                time.sleep(poll_s)
+                continue
+            self.log.info("observation start: %s", od.name)
+            if source.startswith("file:"):
+                secs = ((s, b) for s, b, _ in cap.replay_file(
+                    source[5:],
+                    sample_rate=self.pipeline.cfg.sample_rate))
+            else:
+                secs = self._udp_seconds(int(source.split(":")[1]))
+            self.run_observation(secs, od)
+            nobs += 1
+            if max_observations and nobs >= max_observations:
+                return
+
+    def _udp_seconds(self, port: int):
+        udp = cap.UDPCapture(port=port,
+                             sample_rate=self.pipeline.cfg.sample_rate)
+        try:
+            idle = 0
+            while not self._stop.is_set():
+                done = udp.poll()
+                if not done:
+                    idle += 1
+                    if idle > 100:   # ~50 s of silence ends the obs
+                        return
+                    continue
+                idle = 0
+                for sec, buf in done:
+                    yield sec, buf
+                # STOP/QUIT between seconds
+                for cmd, _ in (self.cmd.poll() if self.cmd else []):
+                    if cmd in (Command.STOP, Command.QUIT,
+                               Command.FAKE_STOP):
+                        if cmd == Command.QUIT:
+                            self._stop.set()
+                        return
+        finally:
+            udp.close()
+
+    def shutdown(self):
+        self._stop.set()
+        if self.trig_rx:
+            self.trig_rx.close()
+        if self.cmd:
+            self.cmd.close()
+        self.pipeline.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--station", type=int, required=True)
+    p.add_argument("--leader", default="127.0.0.1")
+    p.add_argument("--command-port", type=int, default=20001)
+    p.add_argument("--coincidencer", default="127.0.0.1:27555")
+    p.add_argument("--trigger-port", type=int, default=20003)
+    p.add_argument("--source", default="udp:20000")
+    p.add_argument("--out-dir", default="/tmp/vfast")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrunken geometry (testing)")
+    args = p.parse_args(argv)
+    cfg = PipelineConfig.tiny() if args.tiny else PipelineConfig()
+    scfg = SearchConfig.tiny() if args.tiny else SearchConfig()
+    host, port = args.coincidencer.split(":")
+    d = StationDaemon(args.station, cfg, scfg, args.out_dir,
+                      leader_host=args.leader,
+                      command_port=args.command_port,
+                      coincidencer=(host, int(port)),
+                      trigger_port=args.trigger_port)
+    try:
+        d.serve(args.source)
+    except KeyboardInterrupt:
+        d.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,58 @@ class Trigger:
                    meta.split(b"\0", 1)[0].decode(errors="replace"))
 
 
+class TriggerSender:
+    """Fan Trigger structs out to dumper endpoints over UDP (the
+    trigger_t multicast of the reference, src/trigger.py:75-84, as a
+    unicast list since TPU hosts lack multicast)."""
+
+    def __init__(self, endpoints: Sequence[tuple]):
+        import socket as _socket
+        self.endpoints = list(endpoints)
+        self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+
+    def send(self, trigger: "Trigger") -> None:
+        buf = trigger.pack()
+        for ep in self.endpoints:
+            try:
+                self._sock.sendto(buf, ep)
+            except OSError:
+                pass
+
+    def close(self):
+        self._sock.close()
+
+
+class TriggerReceiver:
+    """Dumper-side UDP listener for Trigger structs
+    (ref src/dumper.c:487-532 select + MultiCastReceive loop)."""
+
+    def __init__(self, port: int = 20003, host: str = "0.0.0.0"):
+        import socket as _socket
+        self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.2)
+
+    def poll(self, max_triggers: int = 20) -> List["Trigger"]:
+        import socket as _socket
+        out = []
+        for _ in range(max_triggers):
+            try:
+                buf, _ = self._sock.recvfrom(512)
+            except _socket.timeout:
+                break
+            except OSError:
+                break
+            try:
+                out.append(Trigger.unpack(buf))
+            except Exception:
+                continue
+        return out
+
+    def close(self):
+        self._sock.close()
+
+
 def make_triggers(coincided: List[BeamCandidate], utc_start: float,
                   cfg: TriggerConfig = TriggerConfig()) -> List[Trigger]:
     """Apply the trigger cuts and map candidates to dump windows.
