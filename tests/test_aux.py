@@ -122,6 +122,80 @@ class TestUnwrap:
             uw.unwrap(mangled, rep)
 
 
+class TestSpectral:
+    def test_real_to_complex_tone(self):
+        from vlite_fast_tpu.analysis import spectral
+        n = 4096
+        t = np.arange(n)
+        # tone at 0.2 of the real Nyquist
+        x = np.cos(2 * np.pi * 0.2 * t).astype(np.float32)
+        z = spectral.real_to_complex(x, shift_band=False)
+        assert z.dtype == np.complex64 and len(z) == n // 2
+        spec = np.abs(np.fft.fft(z))
+        # analytic signal: single-sided tone at 0.4 of the complex rate
+        k = np.argmax(spec)
+        assert abs(k / len(z) - 0.4) < 0.01
+        # power preserved (x2 for analytic one-sided)
+        assert abs((np.abs(z) ** 2).mean() / (x ** 2).mean() - 2) < 0.2
+
+    def test_fscrunch(self):
+        from vlite_fast_tpu.analysis import spectral
+        fb = np.arange(9, dtype=np.float32)
+        out = spectral.fscrunch(fb, 1)
+        assert out[0] == 0 and out[1] == (1 + 2) / 2
+
+    def test_cyclic_spectrum_modulation(self):
+        from vlite_fast_tpu.analysis import spectral
+        rng = np.random.default_rng(0)
+        n = 64 * 1024
+        x = rng.standard_normal(n).astype(np.float32)
+        out = spectral.cyclic_spectrum(x, nfft=512, lags=4)
+        assert out.shape == (4, 257)
+        # lag 0 = power spectrum: real positive
+        assert np.all(out[0].real > 0)
+        # white noise: higher-lag correlations sit at the 1/sqrt(nspec)
+        # noise floor, well below lag 0
+        assert np.abs(out[1:]).mean() < 0.15 * np.abs(out[0]).mean()
+
+    def test_filter_muos_isolates_band(self):
+        from vlite_fast_tpu.analysis import spectral
+        rng = np.random.default_rng(1)
+        n = 1 << 16
+        fs = 128e6
+        t = np.arange(n) / fs
+        # a strong tone inside band 1's passband (the reference code
+        # selects complex frequencies [4, 9] MHz after the band-1 shift)
+        x = rng.standard_normal(n).astype(np.float32)
+        x += 10 * np.cos(2 * np.pi * 6.5e6 * t).astype(np.float32)
+        y = spectral.filter_muos(x, band=1, sample_rate=fs)
+        # the filtered signal retains most of the tone's power
+        assert (np.abs(y) ** 2).mean() > 5 * 1.0
+        # and a clean-noise signal mostly filtered away
+        y2 = spectral.filter_muos(
+            rng.standard_normal(n).astype(np.float32), band=1,
+            sample_rate=fs)
+        assert (np.abs(y2) ** 2).mean() < 1.0
+
+
+class TestJoinDumps:
+    def test_join(self, tmp_path):
+        rate = 50_000
+        samples = np.random.default_rng(3).integers(
+            1, 255, (2, rate * 2), dtype=np.uint8)
+        stream = vdif.streams_to_frames(samples, 40, 70, sample_rate=rate)
+        half = stream.size // 2
+        half -= half % C.VDIF_FRAME_BYTES
+        (tmp_path / "b.vdif").write_bytes(stream[half:].tobytes())
+        (tmp_path / "a.vdif").write_bytes(stream[:half].tobytes())
+        out = tmp_path / "joined.vdif"
+        rep = uw.join_dumps([str(tmp_path / "b.vdif"),
+                             str(tmp_path / "a.vdif")], str(out),
+                            frames_per_sec=rate // 5000)
+        assert rep.clean
+        np.testing.assert_array_equal(
+            np.fromfile(out, np.uint8), stream)
+
+
 class TestWatchdog:
     def test_escalating_counter(self):
         c = watchdog.EscalatingCounter("skips", warn=3, abort=6)

@@ -78,6 +78,24 @@ def unwrap(raw: np.ndarray,
     return np.concatenate([raw[cut:n], raw[:cut]])
 
 
+def join_dumps(paths, out_path: str,
+               frames_per_sec: int = C.FRAMES_PER_SEC) -> ContinuityReport:
+    """Concatenate per-event dump files into one continuous stream in time
+    order (the scripts/join_dumps.py role): sort segments by first-frame
+    time, append, and report the continuity of the result."""
+    segs = []
+    for p in paths:
+        raw = np.fromfile(p, dtype=np.uint8)
+        f = vdif.parse_headers(raw[:C.VDIF_HEADER_BYTES])
+        key = (int(f["ref_epoch"][0]), int(f["seconds"][0]),
+               int(f["frame"][0]))
+        segs.append((key, raw))
+    segs.sort(key=lambda kr: kr[0])
+    joined = np.concatenate([r for _, r in segs])
+    joined.tofile(out_path)
+    return find_discontinuity(joined, frames_per_sec=frames_per_sec)
+
+
 def unwrap_file(path: str, out_path: Optional[str] = None) -> ContinuityReport:
     """File-level CLI behavior: writes <path>.uw when a wrap is found."""
     raw = np.fromfile(path, dtype=np.uint8)
