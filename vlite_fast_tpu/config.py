@@ -47,6 +47,8 @@ class PipelineConfig:
     # thresholds (ref src/process_baseband.h:35-46)
     ema_assoc: bool = True         # log-depth associative-scan bandpass EMA
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
+    # NB a bf16 DFT variant was measured SLOWER than f32-highest on the
+    # TPU (the chain is HBM-bandwidth-bound, not MXU-bound) and was removed
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH
     min_weight: float = C.MIN_WEIGHT
