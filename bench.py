@@ -58,6 +58,42 @@ def main():
     data_seconds = iters * seconds_per_iter
     rt_factor = data_seconds / dt
     samples_per_s = rt_factor * cfg.npol_in * cfg.sample_rate
+
+    # --- search engine: one production gulp (24 s, 1024 DM, 4096 chan) ---
+    search_fields = {}
+    try:
+        import jax.numpy as jnp
+
+        from vlite_fast_tpu import constants as Cst
+        from vlite_fast_tpu.config import SearchConfig
+        from vlite_fast_tpu.ops import dedisperse as dd
+
+        scfg = SearchConfig()
+        freqs = Cst.channel_freqs_mhz()[Cst.CHANMIN:Cst.CHANMAX + 1]
+        dms = dd.dm_grid(scfg.dm_min, scfg.dm_max, scfg.ndm)
+        plan = dd.make_plan(dms, freqs, cfg.tsamp, nsub=128, nbatch=128,
+                            zap_ranges=scfg.zap_ranges)
+        rng2 = np.random.default_rng(1)
+        fb = jax.device_put(rng2.standard_normal(
+            (scfg.gulp_samps + plan.max_delay, Cst.NCHANOUT)
+        ).astype(np.float32), dev)
+        out = dd.dedisperse_fourier(fb, plan, scfg.gulp_samps)
+        _ = float(jnp.sum(out))
+        t0 = time.perf_counter()
+        out = dd.dedisperse_fourier(fb, plan, scfg.gulp_samps)
+        _ = float(jnp.sum(out))
+        gulp_dt = time.perf_counter() - t0
+        gulp_data_s = scfg.gulp_samps * cfg.tsamp
+        search_fields = {
+            "search_gulp_wall_s": round(gulp_dt, 3),
+            "search_rt_factor": round(gulp_data_s / gulp_dt, 2),
+        }
+        # combined full-stack budget per antenna per chip
+        per_ant = dt / data_seconds + gulp_dt / gulp_data_s
+        search_fields["full_stack_antennas_per_chip"] = round(1 / per_ant, 2)
+    except Exception as e:  # keep the headline line printing regardless
+        search_fields = {"search_error": str(e)[:120]}
+
     print(json.dumps({
         "metric": "baseband DSP real-time factor (antennas/chip, full "
                   "chain: unpack+kurtosis+FFT+normalize+scrunch+2bit)",
@@ -68,6 +104,7 @@ def main():
         "seconds_processed": data_seconds,
         "wall_s": round(dt, 3),
         "device": str(dev),
+        **search_fields,
     }))
 
 

@@ -94,3 +94,55 @@ def test_full_array_step_dryrun():
     """The driver's dryrun contract: full sharded step on 8 virtual devices."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_step_detects_pulse():
+    """End-to-end on the mesh: a dispersed pulse present at every antenna
+    must surface in the coadd search's per-timeblock peak S/N
+    (configs[4]-style evidence on the virtual mesh)."""
+    import dataclasses
+    from vlite_fast_tpu.config import (AntennaConfig, ArrayConfig,
+                                       PipelineConfig, SearchConfig)
+    from vlite_fast_tpu.models import synthesis
+    from vlite_fast_tpu.parallel.mesh import make_mesh
+    from vlite_fast_tpu.parallel.sharded_pipeline import build_array_step
+
+    n_ant, n_time = 4, 2
+    mesh = make_mesh(n_ant=n_ant, n_time=n_time)
+    cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=64, gulp_samps=512,
+                        boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
+    acfg = ArrayConfig(
+        antennas=tuple(AntennaConfig(i + 1, f"ea{i+1:02d}")
+                       for i in range(n_ant)),
+        pipeline=cfg, search=scfg, mesh_ant=n_ant, mesh_time=n_time)
+    step_fn, make_inputs, plan = build_array_step(acfg, mesh,
+                                                  nsec_per_block=1)
+    raw, bp, bpk = make_inputs(seed=0)
+    # overwrite with synthetic dispersed pulses (2 consecutive seconds,
+    # one per time block; same sky signal, different noise per antenna)
+    dm_true = 300.0
+    for a in range(n_ant):
+        s = synthesis.SynthConfig(
+            tobs=2.0, dm=dm_true, pulse_period=0.05, skip_period=16,
+            amp=0.4, seed=50 + a, sample_rate=cfg.sample_rate,
+            freq_bot_mhz=320.0, bandwidth_mhz=0.5, buflen=250_000)
+        samples, _ = synthesis.generate_baseband(s)
+        for tb in range(n_time):
+            raw[a, tb] = samples[:, tb * cfg.sample_rate:
+                                 (tb + 1) * cfg.sample_rate]
+    sh = NamedSharding(mesh, P("ant", "time"))
+    out, state = step_fn(jax.device_put(raw, sh),
+                         jax.device_put(bp, sh),
+                         jax.device_put(bpk, sh))
+    snr_max = np.asarray(out.snr_max)
+    peak = np.asarray(out.snr_argmax)
+    assert snr_max.shape == (n_time,)
+    # the coadded pulse should stand out strongly in at least one block
+    assert snr_max.max() > 8.0, f"snr_max={snr_max}"
+    # peak DM trial near the true DM
+    dms = np.asarray(plan.dms)
+    best = peak[int(np.argmax(snr_max))]
+    assert abs(dms[best[1]] - dm_true) < 100.0
+    # RFI weights stay healthy on clean synthetic data
+    assert np.asarray(out.weights_mean).min() > 0.9

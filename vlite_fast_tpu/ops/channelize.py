@@ -81,14 +81,19 @@ def matmul_rfft(frames: jax.Array, nfft: int,
     n1, n2 = _ct_split(nfft)
     w1, tw, w2 = _ct_tables(nfft)
     batch = frames.shape[:-1]
+    nchan = nfft // 2 + 1
+    # rfft only needs bins k <= nfft//2, i.e. k2 <= nfft//2 // n1 — slice
+    # the outer DFT matrix so stage 2 computes ~half the work
+    n2_out = nfft // 2 // n1 + 1
     x = frames.reshape(-1, n1, n2).astype(jnp.float32)
     a = jnp.einsum("bnm,nk->bkm", x, jnp.asarray(w1), precision=precision)
     b = a * jnp.asarray(tw)[None]
-    full = jnp.einsum("bkm,mj->bkj", b, jnp.asarray(w2),
+    # output layout (b, k2, k1) straight from the einsum: the linear bin
+    # k = k1 + n1*k2 is then a plain reshape, no device transpose
+    part = jnp.einsum("bkm,mj->bjk", b, jnp.asarray(w2[:, :n2_out]),
                       precision=precision)
-    # linear bin k = k1 + n1*k2 lives at [k2, k1] after transpose
-    lin = jnp.swapaxes(full, -1, -2).reshape(-1, nfft)
-    return lin[:, :nfft // 2 + 1].reshape(*batch, nfft // 2 + 1)
+    lin = part.reshape(-1, n2_out * n1)
+    return lin[:, :nchan].reshape(*batch, nchan)
 
 
 @lru_cache(maxsize=8)
