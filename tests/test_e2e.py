@@ -65,6 +65,38 @@ def test_pulse_recovered_at_dm(fb_setup):
     assert (top.peak_idx % 400) < 30 or (top.peak_idx % 400) > 370
 
 
+def test_pulse_recovered_2bit():
+    """Same slice through the PRODUCTION output format: 2-bit packed
+    filterbank (the reference's default NBIT=2,
+    ref process_baseband.cu:34)."""
+    cfg, synth, info, fb = make_filterbank(nbit=2)
+    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                - 0.5) * cfg.chan_bw_mhz
+    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=121, gulp_samps=512,
+                        boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
+    eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
+                                      nsub=16, nbatch=121)
+    cands = eng.search_stream(fb)
+    assert cands, "pulse lost in 2-bit quantization"
+    top = max(cands, key=lambda c: c.snr)
+    assert abs(top.dm - DM_TRUE) < 75.0
+    assert top.snr > 8.0
+
+
+def test_dm_grid_tol():
+    from vlite_fast_tpu.ops import dedisperse as dd
+    freqs = np.asarray(
+        [384.0 - i * (64.0 / 6251) for i in range(2155, 6251)])
+    dms = dd.dm_grid_tol(2.0, 1000.0, 781.25e-6, freqs, tol=1.25)
+    # heimdall's config yields ~1000 trials over DM 2-1000 at VLITE's
+    # geometry; the adaptive grid should land in that regime
+    assert 200 < len(dms) < 5000
+    assert dms[0] == 2.0 and dms[-1] >= 1000.0
+    # steps grow with DM (in-channel smearing loosens the tolerance)
+    steps = np.diff(dms)
+    assert steps[-1] > steps[0]
+
+
 def test_no_candidates_on_pure_noise():
     cfg = PipelineConfig.tiny()
     raw = synthesis.white_noise_uint8(cfg.sample_rate, seed=31)

@@ -44,6 +44,29 @@ def dm_grid(dm_min: float, dm_max: float, ndm: int) -> np.ndarray:
     return np.linspace(dm_min, dm_max, ndm, dtype=np.float64)
 
 
+def dm_grid_tol(dm_min: float, dm_max: float, tsamp: float,
+                freqs_mhz: np.ndarray, tol: float = 1.25,
+                pulse_width_s: float = 0.0) -> np.ndarray:
+    """Adaptive DM grid with bounded S/N loss (the dedisp/heimdall -dm_tol
+    scheme): step so that the extra smearing from a half-step DM error
+    keeps the effective width within `tol` of matched.
+
+    smear(dDM) = K * dDM * (f_lo^-2 - f_hi^-2); step chosen with
+    dDM = 2*sqrt(tol^2 - 1)*sqrt(tsamp^2 + w^2 + smear_chan^2)/sweep_rate.
+    """
+    f = np.asarray(freqs_mhz, np.float64)
+    sweep = C.DM_CONST_S * (f.min() ** -2.0 - f.max() ** -2.0)  # s per DM
+    nchan = len(f)
+    chan_sweep = sweep / nchan          # in-channel smearing per DM
+    dms = [dm_min]
+    while dms[-1] < dm_max:
+        dm = dms[-1]
+        weff2 = tsamp ** 2 + pulse_width_s ** 2 + (dm * chan_sweep) ** 2
+        step = 2.0 * np.sqrt((tol * tol - 1.0) * weff2) / sweep
+        dms.append(dm + step)
+    return np.asarray(dms, np.float64)
+
+
 def delay_table(dms: np.ndarray, freqs_mhz: np.ndarray,
                 tsamp: float) -> np.ndarray:
     """(ndm, nchan) int32 delays in samples relative to the highest
