@@ -40,7 +40,7 @@ def test_coincidence_over_tcp():
         time.sleep(0.3)
         assert got == []            # single beam: no trigger yet
         cli.send(utc, 1, [cand(i0=1002, i1=1012)])
-        deadline = time.time() + 5
+        deadline = time.time() + 20
         while not got and time.time() < deadline:
             time.sleep(0.05)
         assert len(got) == 1
