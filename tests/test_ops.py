@@ -142,6 +142,38 @@ class TestNormalize:
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                    rtol=2e-3)
 
+    def test_pallas_ema_matches_scan(self):
+        from vlite_fast_tpu.ops import pallas_kernels as pk
+        rng = np.random.default_rng(4)
+        p = rng.chisquare(2, (2, 32, 40)).astype(np.float32)
+        bp0 = np.zeros((2, 40), np.float32)
+        o1, b1 = normalize.normalize_ema(jnp.asarray(p), jnp.asarray(bp0),
+                                         0.02)
+        o2, b2 = pk.normalize_ema_pallas(jnp.asarray(p), jnp.asarray(bp0),
+                                         0.02, chan_tile=16)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   atol=2e-6)
+
+    def test_pallas_ema_weighted_matches_scan(self):
+        from vlite_fast_tpu.ops import pallas_kernels as pk
+        rng = np.random.default_rng(5)
+        p = rng.chisquare(2, (1, 24, 20)).astype(np.float32)
+        p[0, 7] *= 400.0
+        w = np.ones((1, 24), np.float32)
+        w[0, 3] = 0.0
+        bp0 = np.zeros((1, 20), np.float32)
+        o1, b1 = normalize.normalize_ema_weighted(
+            jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.05)
+        o2, b2 = pk.normalize_ema_weighted_pallas(
+            jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.05,
+            chan_tile=20)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   atol=2e-6)
+
     def test_pscrunch(self):
         x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
         out = np.asarray(normalize.pscrunch(jnp.asarray(x)))

@@ -96,6 +96,41 @@ def test_full_array_step_dryrun():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_sharded_coherent_dedispersion_roundtrip():
+    """disperse (one big chirp) -> time-sharded dedisperse with halo
+    exchange -> recover the original voltages away from the stream edges."""
+    import jax.numpy as jnp
+    from vlite_fast_tpu.ops import coherent as coh
+    from vlite_fast_tpu.parallel.sharded_coherent import (
+        coherent_dedisperse_sharded)
+
+    rate = 1_000_000
+    dm = 150.0
+    nsamp = 1 << 18                     # 262144 samples over 8 shards
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, nsamp)).astype(np.float32)
+    ker = coh.dispersion_kernel(nsamp, dm, bandwidth_mhz=0.5,
+                                freq_bot_mhz=320.0, taper=False)
+    dispersed = np.asarray(coh.apply_chirp(jnp.asarray(x), ker))
+
+    mesh = make_mesh(n_ant=1, n_time=8)
+    sh = NamedSharding(mesh, P(None, "time"))
+    out = np.asarray(coherent_dedisperse_sharded(
+        jax.device_put(jnp.asarray(dispersed), sh), mesh, dm, rate,
+        bandwidth_mhz=0.5, freq_bot_mhz=320.0))
+    n_lo, n_hi = coh.smearing_samples(dm, rate, 320.0, 320.25, 320.5)
+    halo = n_lo + n_hi + 4096
+    # interior (excluding the global stream edges where no halo exists)
+    lo, hi = 2 * halo, nsamp - 2 * halo
+    err = np.abs(out[:, lo:hi] - x[:, lo:hi])
+    # blockwise chirp convolution leaves percent-level Fresnel leakage at
+    # block seams (slowly-decaying band-edge ringing — inherent to
+    # overlap-save coherent dedispersion); the bulk must be exact
+    assert err.max() < 0.1, err.max()
+    assert np.median(err) < 2e-3
+    assert (err > 0.01).mean() < 0.01   # <1% of samples above 1% error
+
+
 def test_sharded_step_detects_pulse():
     """End-to-end on the mesh: a dispersed pulse present at every antenna
     must surface in the coadd search's per-timeblock peak S/N

@@ -83,9 +83,20 @@ def test_full_topology(synth_vdif, tmp_path):
             time.sleep(0.1)
         files = os.listdir(dump_dir)
         assert files, "no voltage dump written"
-        # the dump parses as VDIF from the right station second range
-        raw = np.fromfile(os.path.join(dump_dir, files[0]), np.uint8)
-        assert raw.size % (cfg.npol_in * cfg.sample_rate) == 0
+        # the dump must settle to whole ring slots (the dumper may still
+        # be writing when the directory first becomes non-empty)
+        path = os.path.join(dump_dir, files[0])
+        sec_bytes = cfg.npol_in * cfg.sample_rate
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            sz = os.path.getsize(path)
+            if sz > 0 and sz % sec_bytes == 0:
+                time.sleep(0.2)
+                if os.path.getsize(path) == sz:
+                    break
+            time.sleep(0.1)
+        raw = np.fromfile(path, np.uint8)
+        assert raw.size % sec_bytes == 0 and raw.size > 0
     finally:
         for d in daemons:
             d.shutdown()

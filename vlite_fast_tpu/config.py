@@ -45,7 +45,12 @@ class PipelineConfig:
     inject_width_s: float = C.INJECT_WIDTH_S
     inject_amp: float = C.INJECT_AMP
     # thresholds (ref src/process_baseband.h:35-46)
-    ema_assoc: bool = True         # log-depth associative-scan bandpass EMA
+    ema_impl: str = "assoc"        # 'assoc' (log-depth scan) | 'scan'
+                                   # (sequential lax.scan) | 'pallas'
+                                   # (one-pass VMEM kernel; NB hits a JAX
+                                   # mlir-lowering bug when nested in the
+                                   # chain's lax.scan on jax 0.9/axon —
+                                   # usable standalone, not chain-default)
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
     # NB a bf16 DFT variant was measured SLOWER than f32-highest on the
     # TPU (the chain is HBM-bandwidth-bound, not MXU-bound) and was removed

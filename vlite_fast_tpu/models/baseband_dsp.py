@@ -105,10 +105,16 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
                                       cfg.inject_amp)
         return jnp.where(state.segs_since_inject >= 0, injected, spec)
 
-    ema = (norm_ops.normalize_ema_assoc if cfg.ema_assoc
-           else norm_ops.normalize_ema)
-    ema_w = (norm_ops.normalize_ema_weighted_assoc if cfg.ema_assoc
-             else norm_ops.normalize_ema_weighted)
+    if cfg.ema_impl == "pallas":
+        from vlite_fast_tpu.ops import pallas_kernels as pk
+        ema = pk.normalize_ema_pallas
+        ema_w = pk.normalize_ema_weighted_pallas
+    elif cfg.ema_impl == "assoc":
+        ema = norm_ops.normalize_ema_assoc
+        ema_w = norm_ops.normalize_ema_weighted_assoc
+    else:
+        ema = norm_ops.normalize_ema
+        ema_w = norm_ops.normalize_ema_weighted
 
     def finish_plain(spec, bp):
         p = norm_ops.detect(spec)

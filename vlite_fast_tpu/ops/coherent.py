@@ -29,7 +29,11 @@ def _dm_kernel_np(nfreq: int, dm: float, bandwidth_mhz: float,
     bandpass taper.
     """
     i = np.arange(nfreq, dtype=np.float64)
-    f = bandwidth_mhz * i / nfreq
+    # physical rfft bin mapping: bin nfreq-1 = Nyquist = band top.  (The
+    # reference uses bw*i/nfreq, genbase.cu:535 — self-consistent within
+    # one block length but wrong across lengths; the 1/(nfreq-1) mapping
+    # makes kernels of different block sizes interoperable.)
+    f = bandwidth_mhz * i / (nfreq - 1)
     f0 = freq_bot_mhz
     arg = (2 * np.pi * dm / 2.41e-10) * f * f / (f0 * f0 * (f0 + f))
     ker = (np.cos(arg) + 1j * np.sin(arg)) / (2 * (nfreq - 1))

@@ -1,0 +1,163 @@
+"""Pallas TPU kernels for ops where XLA's graph form loses.
+
+Currently: the EMA bandpass tracker.  The recurrence bp_t = s*p_t +
+(1-s)*bp_{t-1} is inherently sequential in time; the XLA options are a
+lax.scan (long serial loop with per-step dispatch) or an associative scan
+(~log2(T) full passes over the (T, nchan) block, ~28x the minimal memory
+traffic).  A Pallas kernel does it in ONE pass: the bandpass vector lives
+in VMEM, the time loop runs inside the kernel, and each power row is read
+and each output row written exactly once.
+
+Kernels run in interpret mode automatically on non-TPU backends so the
+same code path is CPU-testable (guide: pallas_guide.md "Debugging").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, *, scale: float):
+    """One (pol, channel-tile) cell: seed + sequential EMA over time.
+
+    pow_ref: (1, T, CT) power block; bp_ref/bp_out_ref: (1, CT) carry;
+    out_ref: (1, T, CT) normalized output.
+    """
+    T = pow_ref.shape[1]
+    pblk = pow_ref[0]                      # (T, CT)
+    bp_in = bp_ref[0]                      # (CT,)
+    seed = jnp.mean(pblk, axis=0)
+    bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
+
+    def body(t, bp):
+        p_t = pblk[t, :]
+        bp_n = scale * p_t + (1.0 - scale) * bp
+        out_ref[0, t, :] = p_t / bp_n - 1.0
+        return bp_n
+
+    bp_f = jax.lax.fori_loop(0, T, body, bp0)
+    bp_out_ref[0, :] = bp_f
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "chan_tile"))
+def normalize_ema_pallas(power: jax.Array, bp: jax.Array, scale: float,
+                         chan_tile: int = 512):
+    """Drop-in for ops.normalize.normalize_ema (unweighted path).
+
+    power: (npol, T, nchan); bp: (npol, nchan).  nchan is padded up to a
+    multiple of chan_tile internally (pad channels carry bp=1 so the
+    divide is safe).
+    """
+    npol, T, nchan = power.shape
+    ct = min(chan_tile, nchan)
+    pad = (-nchan) % ct
+    if pad:
+        power = jnp.pad(power, ((0, 0), (0, 0), (0, pad)),
+                        constant_values=1.0)
+        bp = jnp.pad(bp, ((0, 0), (0, pad)), constant_values=1.0)
+    ntile = (nchan + pad) // ct
+    out, bp_new = pl.pallas_call(
+        functools.partial(_ema_kernel, scale=float(scale)),
+        grid=(npol, ntile),
+        in_specs=[
+            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(power.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bp.shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(power.astype(jnp.float32), bp.astype(jnp.float32))
+    if pad:
+        out = out[:, :, :nchan]
+        bp_new = bp_new[:, :nchan]
+    return out, bp_new
+
+
+def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref, *,
+                         scale: float, clip_ratio: float, clip_value: float):
+    """Weighted/clipped variant (detect_and_normalize3 semantics)."""
+    T = pow_ref.shape[1]
+    pblk = pow_ref[0]                      # (T, CT)
+    wvec = w_ref[0]                        # (T,)
+    good_t = wvec > 0.0
+    wsafe = jnp.where(good_t, wvec, 1.0)
+    pw = pblk / wsafe[:, None]
+    pw = jnp.where(good_t[:, None], pw, 0.0)
+    ngood = jnp.sum(good_t.astype(jnp.float32))
+    seed_num = jnp.sum(pw, axis=0)
+    seed = jnp.where(ngood > 0, seed_num / jnp.maximum(ngood, 1.0), 1.0)
+    bp_in = bp_ref[0]
+    bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
+
+    def body(t, bp):
+        p_t = pw[t, :]
+        g = good_t[t]
+        clipped = p_t > clip_ratio * bp
+        update = jnp.logical_and(g, jnp.logical_not(clipped))
+        bp_n = jnp.where(update, scale * p_t + (1.0 - scale) * bp, bp)
+        val = jnp.where(clipped, clip_value, p_t / bp_n - 1.0)
+        out_ref[0, t, :] = jnp.where(g, val, 0.0)
+        return bp_n
+
+    bp_f = jax.lax.fori_loop(0, T, body, bp0)
+    bp_out_ref[0, :] = bp_f
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "clip_ratio",
+                                             "clip_value", "chan_tile"))
+def normalize_ema_weighted_pallas(power: jax.Array, weights: jax.Array,
+                                  bp: jax.Array, scale: float,
+                                  clip_ratio: float = 11.0,
+                                  clip_value: float = 10.0,
+                                  chan_tile: int = 512):
+    """Drop-in for ops.normalize.normalize_ema_weighted — EXACT sequential
+    semantics (no fixed-point approximation) in one memory pass."""
+    npol, T, nchan = power.shape
+    ct = min(chan_tile, nchan)
+    pad = (-nchan) % ct
+    if pad:
+        power = jnp.pad(power, ((0, 0), (0, 0), (0, pad)),
+                        constant_values=1.0)
+        bp = jnp.pad(bp, ((0, 0), (0, pad)), constant_values=1.0)
+    ntile = (nchan + pad) // ct
+    out, bp_new = pl.pallas_call(
+        functools.partial(_ema_weighted_kernel, scale=float(scale),
+                          clip_ratio=float(clip_ratio),
+                          clip_value=float(clip_value)),
+        grid=(npol, ntile),
+        in_specs=[
+            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, T), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(power.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bp.shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(power.astype(jnp.float32), weights.astype(jnp.float32),
+      bp.astype(jnp.float32))
+    if pad:
+        out = out[:, :, :nchan]
+        bp_new = bp_new[:, :nchan]
+    return out, bp_new
