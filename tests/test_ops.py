@@ -70,6 +70,22 @@ class TestKurtosis:
         # unaffected blocks keep weight 1
         assert wts[0, 0] == 1.0
 
+    def test_debug_weights_mode(self):
+        # deterministic validation mask (ref DEBUG_WEIGHTS,
+        # pb_kernels.cu:258-265): pol1 loses its second half, pol0 its
+        # final eighth
+        x = self._data(seed=9, nwin=80)           # nsamp = 4000
+        masked, w = kurtosis.apply_mask(jnp.asarray(x), jnp.zeros(80), 50,
+                                        500, debug_weights=True)
+        m, w = np.asarray(masked), np.asarray(w)
+        assert np.all(m[1, 2050:] == 0.0)         # pol1 second half zeroed
+        assert np.all(m[1, :2000] == x[1, :2000])
+        assert np.all(m[0, 3550:] == 0.0)         # pol0 final eighth
+        assert np.all(m[0, :3500] == x[0, :3500])
+        # weights per FFT block (10 windows each) reflect the pattern
+        assert w[1, 0] == 1.0 and w[1, -1] == 0.0
+        assert 0 < w[0, -1] < 1.0
+
     def test_fake_mode(self):
         x = self._data(seed=3)
         masked, w = kurtosis.apply_mask(jnp.asarray(x), jnp.zeros(40), 50,

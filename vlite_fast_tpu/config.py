@@ -52,6 +52,10 @@ class PipelineConfig:
                                    # chain's lax.scan on jax 0.9/axon —
                                    # usable standalone, not chain-default)
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
+                                   # | 'pfb' (streaming WOLA polyphase;
+                                   # sharper channel response; rfi_mode 0
+                                   # only in this round)
+    pfb_ntap: int = 4              # polyphase taps when channelizer='pfb'
     # NB a bf16 DFT variant was measured SLOWER than f32-highest on the
     # TPU (the chain is HBM-bandwidth-bound, not MXU-bound) and was removed
     dag_thresh: float = C.DAG_THRESH
@@ -123,6 +127,10 @@ class PipelineConfig:
             raise ValueError("ffts_per_seg must be a multiple of nscrunch")
         if self.nbit not in (2, 4, 8):
             raise ValueError("nbit must be 2, 4 or 8")
+        if self.channelizer == "pfb" and self.rfi_mode != 0:
+            raise ValueError("pfb channelizer currently requires "
+                             "rfi_mode=0 (kurtosis weight bookkeeping is "
+                             "defined per FFT frame, not per WOLA window)")
         samples_per_byte = 8 // self.nbit
         if (self.out_samps_per_seg * self.nchanout * self.npol_out) % samples_per_byte:
             raise ValueError("channel/bit scheme is not byte-commensurate "

@@ -50,6 +50,9 @@ class DSPState(NamedTuple):
     bp: jax.Array        # (npol, nchan) plain-stream bandpass
     bp_kur: jax.Array    # (npol, nchan) kurtosis-stream bandpass
     segs_since_inject: jax.Array  # int32 scalar; <0 means not armed
+    tail: jax.Array      # (npol, (pfb_ntap-1)*nfft) carried voltages for
+                         # the streaming WOLA channelizer ((npol, 0) unless
+                         # channelizer == 'pfb')
 
 
 class SegmentOutput(NamedTuple):
@@ -60,10 +63,13 @@ class SegmentOutput(NamedTuple):
 
 
 def init_state(cfg: PipelineConfig) -> DSPState:
+    tail_len = (cfg.pfb_ntap - 1) * cfg.nfft if cfg.channelizer == "pfb" \
+        else 0
     return DSPState(
         bp=jnp.zeros((cfg.npol_in, cfg.nchan), jnp.float32),
         bp_kur=jnp.zeros((cfg.npol_in, cfg.nchan), jnp.float32),
         segs_since_inject=jnp.int32(-1),
+        tail=jnp.zeros((cfg.npol_in, tail_len), jnp.float32),
     )
 
 
@@ -92,8 +98,22 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         x_kur, weights = res.masked, res.weights
         dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
 
-    def spectra(v):
-        return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer)
+    new_tail = state.tail
+    if cfg.channelizer == "pfb":
+        # streaming WOLA: prepend the carried (ntap-1)*nfft voltages so
+        # this segment yields exactly ffts_per_seg spectra, then carry the
+        # segment's own tail forward (genbase's overlap pattern applied to
+        # the analysis side)
+        def spectra(v):
+            v_ext = jnp.concatenate([state.tail, v], axis=1)
+            return ch_ops.polyphase_channelize(v_ext, cfg.nfft,
+                                               cfg.pfb_ntap,
+                                               method="matmul")
+
+        new_tail = x[:, -(cfg.pfb_ntap - 1) * cfg.nfft:]
+    else:
+        def spectra(v):
+            return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer)
 
     def maybe_inject(spec):
         if not cfg.inject_frb:
@@ -151,7 +171,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
     new_since = jnp.where(state.segs_since_inject >= 0,
                           state.segs_since_inject + 1,
                           state.segs_since_inject)
-    new_state = DSPState(bp=bp, bp_kur=bp_kur, segs_since_inject=new_since)
+    new_state = DSPState(bp=bp, bp_kur=bp_kur, segs_since_inject=new_since,
+                         tail=new_tail)
     return SegmentOutput(packed, packed_kur, weights, dag_frac), new_state
 
 

@@ -107,12 +107,13 @@ def _pfb_window(ntap: int, nfft: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
+def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4,
+                         method: str = "fft") -> jax.Array:
     """WOLA polyphase filterbank (ref analysis/baseband.py:1207-1238).
 
     x: (npol, nsamp); output (npol, nspec, nchan) where
     nspec = nsamp//nfft - (ntap - 1): each spectrum consumes ntap*nfft
-    samples advanced by nfft.
+    samples advanced by nfft.  method as in channelize().
     """
     npol, nsamp = x.shape
     nspec_raw = nsamp // nfft
@@ -123,4 +124,6 @@ def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4) -> jax.Array:
     idx = jnp.arange(nspec)[:, None] + jnp.arange(ntap)[None, :]
     taps = frames[:, idx, :]
     wola = jnp.sum(taps * win.reshape(ntap, nfft), axis=2)
+    if method == "matmul":
+        return matmul_rfft(wola, nfft)
     return jnp.fft.rfft(wola, axis=-1)

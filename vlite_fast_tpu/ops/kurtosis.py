@@ -101,7 +101,8 @@ def block_stats(pow_w: jax.Array, kur_w: jax.Array, dag: jax.Array,
 
 def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
                dag_thresh: float = C.DAG_THRESH,
-               fake: bool = False) -> tuple[jax.Array, jax.Array]:
+               fake: bool = False,
+               debug_weights: bool = False) -> tuple[jax.Array, jax.Array]:
     """Zero voltages in flagged windows; per-FFT-block surviving weights.
 
     Ref: apply_kurtosis / apply_kurtosis_fake (src/pb_kernels.cu:243-318).
@@ -109,6 +110,12 @@ def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
     use is commented out in the reference, pb_kernels.cu:255-256).
     x: (npol, nsamp); dag: (nwin,) -> (masked (npol, nsamp),
     weights (npol, nblk)).
+
+    debug_weights reproduces the DEBUG_WEIGHTS deterministic mask
+    (ref pb_kernels.cu:258-265): flag the second half of the chunk
+    (as seen by pol 1's half of the flat buffer) and the [7/8, 1) span of
+    the first pol's half — a known pattern for validating the weight
+    bookkeeping through normalize/pscrunch/tscrunch.
     """
     npol, nsamp = x.shape
     nwin = nsamp // nkurto
@@ -118,12 +125,22 @@ def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
         good = jnp.ones((nwin,), dtype=x.dtype)
         return x, jnp.broadcast_to(
             jnp.mean(good.reshape(nblk, wpf), axis=-1), (npol, nblk))
-    good = (dag < dag_thresh)
+    if debug_weights:
+        # per-pol deterministic mask: the reference evaluates `bad` on the
+        # flat dual-pol buffer [pol0 | pol1]: flat positions beyond
+        # 1.5*nsamp (the second half of pol 1) and the final eighth of
+        # pol 0 are zero-weighted
+        pos = jnp.arange(nwin) * nkurto
+        bad_p0 = pos > (7 * nsamp) // 8
+        bad_p1 = pos > nsamp // 2
+        good2 = jnp.stack([~bad_p0, ~bad_p1])[:npol]       # (npol, nwin)
+    else:
+        good2 = jnp.broadcast_to(dag < dag_thresh, (npol, nwin))
     masked = jnp.where(
-        jnp.repeat(good, nkurto)[None, :], x, 0.0)
+        jnp.repeat(good2, nkurto, axis=1), x, 0.0)
     weights = jnp.mean(
-        good.astype(x.dtype).reshape(nblk, wpf), axis=-1)
-    return masked, jnp.broadcast_to(weights, (npol, nblk))
+        good2.astype(x.dtype).reshape(npol, nblk, wpf), axis=-1)
+    return masked, weights
 
 
 def sample_histogram(u: jax.Array, nbins: int = 256) -> jax.Array:
