@@ -175,6 +175,56 @@ def cmd_print_obsdoc(args):
         print(json.dumps(asdict(doc), default=str, indent=2))
 
 
+def cmd_find_obs(args):
+    """Search archived obsinfo XML for scans near a sky position
+    (the scripts/search_logs_pos.py role, against the messenger's XML
+    archive instead of scraping writer logs)."""
+    import glob
+    import os
+    from vlite_fast_tpu.runtime import vla_xml
+    from vlite_fast_tpu.runtime.control import ObservationDocument, \
+        angular_distance
+    hits = []
+    for path in sorted(glob.glob(os.path.join(args.archive, "*obsinfo*"))):
+        try:
+            with open(path) as fp:
+                od = vla_xml.parse_obs_document(fp.read())
+        except Exception:
+            continue
+        dist = angular_distance(args.ra, args.dec, od.ra, od.dec)
+        if dist <= args.radius:
+            hits.append({"file": os.path.basename(path), "name": od.name,
+                         "ra": od.ra, "dec": od.dec, "scan": od.scan_no,
+                         "dist_rad": round(dist, 6)})
+    print(json.dumps(hits, indent=2))
+
+
+def cmd_clean(args):
+    """Age-based product cleanup (the scripts/clear_files role).
+    Dry-run by default; --delete to actually remove."""
+    import os
+    import time as _t
+    cutoff = _t.time() - args.days * 86400
+    removed, kept_bytes = [], 0
+    for d in args.dirs:
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                if st.st_mtime < cutoff:
+                    removed.append(p)
+                    if args.delete:
+                        os.unlink(p)
+                else:
+                    kept_bytes += st.st_size
+    print(json.dumps({"candidates" if not args.delete else "deleted":
+                      len(removed), "kept_bytes": kept_bytes,
+                      "files": removed[:50]}))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -251,6 +301,19 @@ def main(argv=None):
     s = sub.add_parser("print-obsdoc", help="parse + print a VLA XML doc")
     s.add_argument("xml")
     s.set_defaults(fn=cmd_print_obsdoc)
+
+    s = sub.add_parser("find-obs", help="search obsinfo archive by position")
+    s.add_argument("archive")
+    s.add_argument("--ra", type=float, required=True)
+    s.add_argument("--dec", type=float, required=True)
+    s.add_argument("--radius", type=float, default=0.01)
+    s.set_defaults(fn=cmd_find_obs)
+
+    s = sub.add_parser("clean", help="age-based product cleanup")
+    s.add_argument("dirs", nargs="+")
+    s.add_argument("--days", type=float, default=30.0)
+    s.add_argument("--delete", action="store_true")
+    s.set_defaults(fn=cmd_clean)
 
     s = sub.add_parser("bench", help="headline benchmark")
     s.set_defaults(fn=cmd_bench)

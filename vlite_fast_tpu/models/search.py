@@ -30,14 +30,15 @@ class SinglePulseSearch:
     """One beam's search engine.  Stateless across gulps except the plan."""
 
     def __init__(self, scfg: SearchConfig, tsamp: float,
-                 freqs_mhz: np.ndarray, nsub: int = 128, nbatch: int = 128):
+                 freqs_mhz: np.ndarray, nsub: int = 0, nbatch: int = 0):
         self.scfg = scfg
         self.tsamp = float(tsamp)
         self.freqs_mhz = np.asarray(freqs_mhz)
         self.dms = dd.dm_grid(scfg.dm_min, scfg.dm_max, scfg.ndm)
         self.widths = boxcar_widths(scfg.boxcar_max)
         self.plan = dd.make_plan(self.dms, self.freqs_mhz, self.tsamp,
-                                 nsub=nsub, nbatch=nbatch,
+                                 nsub=nsub or scfg.nsub,
+                                 nbatch=nbatch or scfg.nbatch,
                                  zap_ranges=scfg.zap_ranges)
 
     @property
