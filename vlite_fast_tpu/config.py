@@ -234,6 +234,35 @@ class ArrayConfig:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
     @classmethod
+    def from_json(cls, text: str) -> "ArrayConfig":
+        """Load a cluster config from JSON (the config/hosts +
+        config/coadd + hostfile role as one typed file)."""
+        d = json.loads(text)
+        d["antennas"] = tuple(AntennaConfig(**{**a, "position_m":
+                                               tuple(a.get("position_m",
+                                                           (0, 0, 0)))})
+                              for a in d.get("antennas", []))
+        for key, klass in (("pipeline", PipelineConfig),
+                           ("search", SearchConfig),
+                           ("trigger", TriggerConfig)):
+            if key in d and isinstance(d[key], dict):
+                sub = d[key]
+                if key == "search" and "zap_ranges" in sub:
+                    sub["zap_ranges"] = tuple(tuple(z)
+                                              for z in sub["zap_ranges"])
+                d[key] = klass(**sub)
+        return cls(**d)
+
+    @classmethod
+    def load(cls, path: str) -> "ArrayConfig":
+        with open(path) as fp:
+            return cls.from_json(fp.read())
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as fp:
+            fp.write(self.to_json())
+
+    @classmethod
     def tiny(cls, nant: int = 4, mesh_ant: int = 1, mesh_time: int = 1,
              **overrides) -> "ArrayConfig":
         return cls(

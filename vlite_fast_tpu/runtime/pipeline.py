@@ -90,8 +90,19 @@ class StationPipeline:
 
     def run_observation(self, seconds: Iterable, od: ObservationDocument,
                         write_fil: bool = True,
-                        search_live: bool = True) -> ObservationProducts:
-        """seconds: iterable of (unix_second, samples[npol, rate] uint8)."""
+                        search_live: bool = True,
+                        profile_dir: Optional[str] = None
+                        ) -> ObservationProducts:
+        """seconds: iterable of (unix_second, samples[npol, rate] uint8).
+
+        profile_dir enables a jax profiler trace of the observation (the
+        PROFILE build-flag role, ref process_baseband.h:9-13; open with
+        tensorboard/xprof)."""
+        if profile_dir:
+            import jax
+            with jax.profiler.trace(profile_dir):
+                return self.run_observation(seconds, od, write_fil,
+                                            search_live, None)
         cfg = self.cfg
         self.state = dsp.init_state(cfg)   # EMA reseeds per obs (SURVEY 5)
         self._fb_accum, self._searched_to = [], 0
