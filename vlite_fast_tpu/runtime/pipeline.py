@@ -52,7 +52,8 @@ class StationPipeline:
 
     def __init__(self, station_id: int, cfg: PipelineConfig,
                  scfg: SearchConfig, out_dir: str = "/tmp/vfast",
-                 ring_seconds: int = 8, keep_ring: bool = True):
+                 ring_seconds: int = 8, keep_ring: bool = True,
+                 write_cands: bool = True, write_kurto: bool = False):
         self.station_id = station_id
         self.cfg = cfg
         self.scfg = scfg
@@ -71,9 +72,13 @@ class StationPipeline:
         self.search = search_mod.SinglePulseSearch(
             scfg, cfg.tsamp, freqs,
             nsub=min(128, cfg.nchanout), nbatch=min(scfg.ndm, 128))
+        self.write_cands = write_cands
+        self.write_kurto = write_kurto   # WRITE_KURTO role (weights dump)
+        self._weights_accum: List[np.ndarray] = []
         self.state = dsp.init_state(cfg)
         self._fb_accum: List[np.ndarray] = []
         self._searched_to = 0
+        self._pending = None   # device handle of the last second's output
         self._out_samps_per_sec = cfg.seg_per_sec * cfg.out_samps_per_seg
 
     def _fil_header(self, od: ObservationDocument,
@@ -106,6 +111,8 @@ class StationPipeline:
         cfg = self.cfg
         self.state = dsp.init_state(cfg)   # EMA reseeds per obs (SURVEY 5)
         self._fb_accum, self._searched_to = [], 0
+        self._pending = None
+        self._weights_accum = []
         rt = RTMonitor()
         fil = None
         fil_path = None
@@ -132,28 +139,51 @@ class StationPipeline:
             arm = jnp.asarray(cfg.inject_frb and nsec % C.INJECT_PERIOD_S == 0)
             out, self.state = dsp.process_second(
                 cfg, jnp.asarray(buf), self.state, arm)
-            packed = np.asarray(out.packed_kur if cfg.rfi_mode else
-                                out.packed)
-            if fil is not None:
-                fil.write_block(packed)
-            self._fb_accum.append(packed)
+            # double-buffered output drain (the reference's 10 s host-side
+            # output buffering, process_baseband.cu:691-697): the previous
+            # second's device result is fetched and post-processed while
+            # this second's dispatch computes asynchronously
+            pending_new = out.packed_kur if cfg.rfi_mode else out.packed
+            if self.write_kurto:
+                self._weights_accum.append(np.asarray(out.weights))
+            if self._pending is not None:
+                self._drain(self._pending, fil, cands, search_live)
+            self._pending = pending_new
             nsec += 1
             deficit = rt.add(1.0)
             if deficit is not None:
                 self.log.warning("falling behind real time by %.2f s",
                                  deficit)
-            if search_live:
-                cands.extend(self._search_ready())
+        if self._pending is not None:
+            self._drain(self._pending, fil, cands, search_live)
+            self._pending = None
         cands.extend(self._search_ready(flush=True))
         if fil is not None:
             fil.close()
         self.metrics.set("vfast_rt_factor", rt.realtime_factor)
         self.metrics.set("vfast_candidates", len(cands))
+        if fil_path and self.write_cands and cands:
+            # heimdall-style candidate file alongside the filterbank
+            with open(fil_path.replace(".fil", ".cand"), "w") as fp:
+                for c in cands:
+                    fp.write(c.to_line() + "\n")
+        if fil_path and self.write_kurto and self._weights_accum:
+            np.savez_compressed(fil_path.replace(".fil", "_kurto.npz"),
+                                weights=np.concatenate(
+                                    self._weights_accum, axis=-1))
         return ObservationProducts(
             fil_path=fil_path, candidates=cands, seconds=nsec,
             rt_factor=rt.realtime_factor,
             dropped=self.ring.dropped if self.ring else 0,
             start_unix=t0_unix or 0.0)
+
+    def _drain(self, packed_dev, fil, cands, search_live: bool) -> None:
+        packed = np.asarray(packed_dev)
+        if fil is not None:
+            fil.write_block(packed)
+        self._fb_accum.append(packed)
+        if search_live:
+            cands.extend(self._search_ready())
 
     def _search_ready(self, flush: bool = False) -> List[dd.Candidate]:
         """Search any complete gulps accumulated since the last call."""
