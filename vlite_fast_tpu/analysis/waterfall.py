@@ -34,6 +34,47 @@ def waterfall_from_fil(path: str, max_time: int = 2048,
     return wf, meta
 
 
+def watch_and_render(fil_dir: str, out_dir: Optional[str] = None,
+                     poll_s: float = 5.0, max_iterations: int = 0,
+                     stop_flag=None) -> int:
+    """Watch a directory for new .fil files and publish waterfall PNGs
+    (the src/make_plots.py watch loop, ref make_plots.py:108-160).
+
+    max_iterations=0 runs until stop_flag (a threading.Event) is set.
+    Returns the number of PNGs rendered."""
+    import os
+    import time as _t
+    out_dir = out_dir or fil_dir
+    os.makedirs(out_dir, exist_ok=True)
+    seen = set()
+    rendered = 0
+    it = 0
+    while True:
+        for f in sorted(os.listdir(fil_dir)):
+            if not f.endswith(".fil") or f in seen:
+                continue
+            path = os.path.join(fil_dir, f)
+            try:
+                wf, meta = waterfall_from_fil(path)
+                render_png(wf, meta,
+                           os.path.join(out_dir,
+                                        f.replace(".fil", ".png")))
+                rendered += 1
+            except Exception:
+                pass   # partial/in-progress file; retry next poll
+            else:
+                seen.add(f)
+        it += 1
+        if max_iterations and it >= max_iterations:
+            break
+        if stop_flag is not None and stop_flag.is_set():
+            break
+        if max_iterations == 0 and stop_flag is None:
+            break   # single pass when no loop control is given
+        _t.sleep(poll_s)
+    return rendered
+
+
 def render_png(wf: np.ndarray, meta: dict, out_path: str,
                vmin_pct: float = 5, vmax_pct: float = 95) -> str:
     """Render a waterfall PNG (matplotlib, headless)."""
