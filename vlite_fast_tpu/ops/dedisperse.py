@@ -280,28 +280,39 @@ def dedisperse_reference(fb: np.ndarray, delays: np.ndarray,
 # Boxcar matched filter
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("widths",))
+@partial(jax.jit, static_argnames=("widths", "noise"))
 def boxcar_snr(dmt: jax.Array, nchan_eff: float,
-               widths: tuple = (1, 2, 4, 8, 16, 32, 64)) -> jax.Array:
+               widths: tuple = (1, 2, 4, 8, 16, 32, 64),
+               noise: str = "measured") -> jax.Array:
     """Matched-filter S/N over boxcar widths.
 
-    dmt: (ndm, ntime) channel-summed DM-time plane whose per-sample noise is
-    sqrt(nchan_eff) (unit-variance channels).  Baseline (per-DM mean) is
-    subtracted; output (nwidth, ndm, ntime) with box ends aligned to t
-    (the boxcar covering [t-w+1, t]).
+    dmt: (ndm, ntime) channel-summed DM-time plane.  Baseline (per-DM
+    mean) is subtracted; output (nwidth, ndm, ntime) with box ends aligned
+    to t (the boxcar covering [t-w+1, t]).
+
+    noise: 'measured' estimates each trial's noise robustly
+    (1.4826 * median |deviation|, outlier-immune — the role of heimdall's
+    per-trial baseline/normalization stage) so quantization scale and
+    bandpass residuals don't bias S/N; 'expected' assumes unit-variance
+    channels (sigma = sqrt(nchan_eff)).
     """
     ndm, ntime = dmt.shape
     base = jnp.mean(dmt, axis=1, keepdims=True)
     x = dmt - base
+    if noise == "measured":
+        sigma = 1.4826 * jnp.median(jnp.abs(x), axis=1)      # (ndm,)
+        sigma = jnp.maximum(sigma, 1e-6)
+    else:
+        sigma = jnp.full((ndm,), jnp.sqrt(jnp.float32(nchan_eff)))
     cs = jnp.cumsum(x, axis=1)
     cs = jnp.concatenate([jnp.zeros((ndm, 1), dtype=cs.dtype), cs], axis=1)
     outs = []
+    inv_sigma = (1.0 / sigma)[:, None]
     for w_ in widths:
         box = cs[:, w_:] - cs[:, :-w_]                   # (ndm, ntime-w+1)
         pad = jnp.zeros((ndm, w_ - 1), dtype=box.dtype)
         box = jnp.concatenate([pad, box], axis=1)
-        outs.append(box * jax.lax.rsqrt(jnp.float32(w_)
-                                        * jnp.float32(nchan_eff)))
+        outs.append(box * inv_sigma * jax.lax.rsqrt(jnp.float32(w_)))
     return jnp.stack(outs, axis=0)
 
 
