@@ -106,6 +106,24 @@ def test_frb_injection_recovered():
     assert abs((li[50:] - lr[50:]).mean()) < 2.0
 
 
+def test_all_zero_second_is_finite():
+    """A fully gap-filled (all-zero) second must not poison the chain with
+    NaNs, and the next real second must recover."""
+    zero = np.zeros((2, CFG.sample_rate), np.uint8)
+    out0, st = run_second(CFG, zero)
+    for arr in (out0.packed, out0.packed_kur):
+        assert np.isfinite(np.asarray(arr).astype(np.float64)).all()
+    assert np.isfinite(np.asarray(st.bp)).all()
+    assert np.isfinite(np.asarray(st.bp_kur)).all()
+    # kurtosis flags the dead windows entirely
+    assert np.asarray(out0.weights).max() == 0.0
+    raw = synthesis.white_noise_uint8(CFG.sample_rate, seed=13)
+    out1, st = run_second(CFG, raw, state=st)
+    lev = np.asarray(out1.packed_kur).astype(np.float32)
+    assert np.isfinite(lev).all()
+    assert abs(lev[50:].mean() - 127.5) < 4.0   # normal operation resumes
+
+
 def test_pfb_channelizer_chain():
     """Streaming WOLA polyphase variant (BASELINE configs[1]): spectra
     must match the offline PFB applied to the concatenated stream."""

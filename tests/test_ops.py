@@ -113,20 +113,37 @@ class TestNormalize:
                                    atol=1e-6)
 
     def test_ema_weighted_clip_and_zero(self):
-        p = np.ones((1, 8, 4), np.float32)
-        w = np.ones((1, 8), np.float32)
+        # long enough that a lone spike doesn't trip the stale-bandpass
+        # re-seed (a single clip event has ~1/T leverage on the chunk mean)
+        p = np.ones((1, 64, 4), np.float32)
+        w = np.ones((1, 64), np.float32)
         w[0, 3] = 0.0            # dead spectrum
-        p[0, 5, :] = 100.0       # clipped spectrum (>11x bandpass of ~1)
-        # carry a pre-seeded bandpass of 1 so the spike can't inflate it
+        p[0, 40, :] = 100.0      # clipped spectrum (>11x bandpass of ~1)
         out, bp = normalize.normalize_ema_weighted(
-            jnp.asarray(p), jnp.asarray(w), jnp.ones((1, 4)), 0.1)
+            jnp.asarray(p), jnp.asarray(w), jnp.ones((1, 4)), 0.01)
         out = np.asarray(out)
         assert np.all(out[0, 3] == 0.0)                 # w=0 -> 0
-        assert np.all(out[0, 5] == C.BP_CLIP_VALUE)     # clip -> 10
+        assert np.all(out[0, 40] == C.BP_CLIP_VALUE)    # clip -> 10
         # the clipped spectrum never updates the bandpass
-        assert abs(float(np.asarray(bp)[0, 0]) - 1.0) < 1e-5
+        assert abs(float(np.asarray(bp)[0, 0]) - 1.0) < 1e-4
         # good unit-power spectra normalize to ~0
-        assert np.all(np.abs(out[0, 7]) < 1e-4)
+        assert np.all(np.abs(out[0, 63]) < 1e-4)
+
+    def test_stale_bandpass_reseeds_after_gap(self):
+        # a carried bandpass 5x+ off the chunk mean (e.g. after a
+        # gap-filled second left bp at the fallback value) re-seeds
+        # immediately instead of crawling for seconds (divergence from the
+        # reference's acknowledged stuck-bandpass TODO,
+        # pb_kernels.cu:488-494)
+        rng = np.random.default_rng(6)
+        p = rng.chisquare(2, (1, 256, 8)).astype(np.float32) * 4.0
+        w = np.ones((1, 256), np.float32)
+        out, bp = normalize.normalize_ema_weighted(
+            jnp.asarray(p), jnp.asarray(w), jnp.full((1, 8), 0.1), 0.002)
+        out = np.asarray(out)
+        # normalized output is centered near zero right away
+        assert abs(out[0, 10:].mean()) < 0.5
+        assert np.asarray(bp).mean() > 2.0
 
     def test_assoc_matches_scan(self):
         rng = np.random.default_rng(2)

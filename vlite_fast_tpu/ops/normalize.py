@@ -41,8 +41,11 @@ def normalize_ema(power: jax.Array, bp: jax.Array,
 
     power: (npol, ntime, nchan); bp: (npol, nchan) carry (0 = seed from the
     mean of this chunk).  Returns (out, new_bp) with out = p/bp - 1.
+    A fully gap-filled (all-zero) chunk would seed bp=0 and emit NaN
+    (0/0) — the zero-power seed falls back to 1 instead.
     """
     seed = jnp.mean(power, axis=1)
+    seed = jnp.where(seed == 0.0, 1.0, seed)
     bp0 = jnp.where(bp == 0.0, seed, bp)
 
     def step(bp_c, p_t):
@@ -78,6 +81,15 @@ def normalize_ema_weighted(power: jax.Array, weights: jax.Array,
                      jnp.sum(pw, axis=1) / jnp.maximum(ngood, 1),
                      1.0)
     bp0 = jnp.where(bp == 0.0, seed, bp)
+    # stale-bandpass recovery (deliberate divergence from the reference,
+    # whose carried bandpass can wedge after a data gap — saturating the
+    # output through the clip path for seconds, the acknowledged TODO at
+    # pb_kernels.cu:488-494): if this chunk's mean power is more than 5x
+    # off the carried bandpass in either direction, the carry is stale —
+    # re-seed from the chunk mean.  Real signals perturb a 100 ms chunk
+    # mean by <<5x, so normal operation is untouched.
+    stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
+    bp0 = jnp.where(stale, seed, bp0)
 
     def step(bp_c, inp):
         p_t, good_t = inp          # (npol, nchan), (npol, 1->nchan bool)
@@ -122,6 +134,7 @@ def normalize_ema_assoc(power: jax.Array, bp: jax.Array,
     """Log-depth equivalent of normalize_ema (identical math, different
     summation order; agreement to f32 rounding)."""
     seed = jnp.mean(power, axis=1)
+    seed = jnp.where(seed == 0.0, 1.0, seed)
     bp0 = jnp.where(bp == 0.0, seed, bp)
     p = jnp.swapaxes(power, 0, 1)                      # (T, npol, nchan)
     a = jnp.full_like(p, 1.0 - scale)
@@ -154,6 +167,15 @@ def normalize_ema_weighted_assoc(power: jax.Array, weights: jax.Array,
     seed = jnp.where(ngood > 0,
                      jnp.sum(pw, axis=1) / jnp.maximum(ngood, 1), 1.0)
     bp0 = jnp.where(bp == 0.0, seed, bp)
+    # stale-bandpass recovery (deliberate divergence from the reference,
+    # whose carried bandpass can wedge after a data gap — saturating the
+    # output through the clip path for seconds, the acknowledged TODO at
+    # pb_kernels.cu:488-494): if this chunk's mean power is more than 5x
+    # off the carried bandpass in either direction, the carry is stale —
+    # re-seed from the chunk mean.  Real signals perturb a 100 ms chunk
+    # mean by <<5x, so normal operation is untouched.
+    stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
+    bp0 = jnp.where(stale, seed, bp0)
 
     p = jnp.swapaxes(pw, 0, 1)                         # (T, npol, nchan)
     g = jnp.swapaxes(good, 0, 1)

@@ -104,6 +104,9 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref, *,
     seed = jnp.where(ngood > 0, seed_num / jnp.maximum(ngood, 1.0), 1.0)
     bp_in = bp_ref[0]
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
+    # stale-bandpass recovery (matches ops.normalize weighted variants)
+    stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
+    bp0 = jnp.where(stale, seed, bp0)
 
     def body(t, bp):
         p_t = pw[t, :]
