@@ -154,6 +154,58 @@ def test_beamform_coherent_gain():
     assert gain > 2.5   # ideal 4 antennas -> 4x power
 
 
+def test_candidate_cutout():
+    from vlite_fast_tpu.analysis import cutout
+    from vlite_fast_tpu.ops.dedisperse import Candidate
+    rng = np.random.default_rng(30)
+    fb = rng.standard_normal((1000, 32)).astype(np.float32)
+    freqs = 384.0 - np.arange(32) * 0.1
+    c = Candidate(snr=10, peak_idx=500, peak_time=1.0, tfilt=2, dmi=3,
+                  dm=50.0, ngiant=1, i0=495, i1=505)
+    start, blk = cutout.candidate_block(fb, c, 2e-3, freqs, wmult=2)
+    assert start < 495 and blk.shape[0] > 30
+    sm = cutout.tophat(blk, 2)
+    assert sm.shape == blk.shape
+    assert sm.std() < blk.std()          # smoothing reduces variance
+    prof = cutout.dedispersed_profile(blk, 50.0, 2e-3, freqs)
+    assert np.isfinite(prof).all()
+
+
+def test_localization_from_dumps():
+    """Full offline localization slice (loc_step2+3 roles): plane-wave
+    delayed impulses at 5 antennas -> per-baseline delays -> TDOA fit."""
+    from vlite_fast_tpu.analysis import localization as loc
+    rng = np.random.default_rng(31)
+    nant, n = 5, 400_000
+    positions = rng.uniform(-2000, 2000, (nant, 3))
+    positions[:, 2] = 0.0
+    az_true, el_true = 2.2, 0.9
+    s_hat = loc.direction_unit(np.array(az_true), np.array(el_true))
+    tau = positions @ s_hat / loc.C_LIGHT        # arrival offsets [s]
+    # common broadband impulsive signal
+    common = np.zeros(n + 4000, np.float32)
+    impulses = rng.integers(2000, n, 50)
+    common[impulses] = 20.0
+    common += rng.standard_normal(n + 4000).astype(np.float32) * 0.3
+    dumps = []
+    for k in range(nant):
+        shift = int(round(tau[k] * RATE))
+        sig = common[2000 - shift:2000 - shift + n]
+        x = np.stack([sig, sig]) + rng.standard_normal((2, n)) * 0.5
+        u = np.clip(x * 128 + 128.5, -0, 255).astype(np.uint8)
+        dumps.append(bb.VoltageDump(samples=u, start_time=0.0,
+                                    station_id=k + 1, sample_rate=RATE))
+    pairs = [(i, j) for i in range(nant) for j in range(i + 1, nant)]
+    delays = []
+    for i, j in pairs:
+        d, snr = bb.baseline_delay(dumps[i], dumps[j], nfft=500)
+        delays.append(d)
+    fit = loc.fit_tdoa(positions, pairs, np.array(delays),
+                       sigma=2.0 / RATE)
+    assert abs(fit.az - az_true) < 0.15
+    assert abs(fit.el - el_true) < 0.15
+
+
 def test_refine_dm():
     rng = np.random.default_rng(10)
     ntime, nchan = 600, 64

@@ -98,6 +98,75 @@ class TestAssembler:
         np.testing.assert_array_equal(done[0][1], samples[:, :rate])
 
 
+class TestUDPCapture:
+    def test_loopback_capture(self):
+        import socket
+        from vlite_fast_tpu.runtime.capture import UDPCapture, to_unix
+        rate = 50_000
+        cap = UDPCapture(port=38777, sample_rate=rate)
+        try:
+            samples = np.random.default_rng(4).integers(
+                1, 255, (2, rate * 2), dtype=np.uint8)
+            stream = vdif.streams_to_frames(samples, 40, 500,
+                                            sample_rate=rate)
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            frames = stream.reshape(-1, C.VDIF_FRAME_BYTES)
+            done = []
+            for fr in frames:
+                tx.sendto(fr.tobytes(), ("127.0.0.1", 38777))
+            deadline = time.time() + 10
+            while len(done) < 1 and time.time() < deadline:
+                done.extend(cap.poll())
+            assert done, "no seconds assembled from UDP frames"
+            sec, buf = done[0]
+            assert sec == to_unix(500, 40)
+            np.testing.assert_array_equal(buf, samples[:, :rate])
+            tx.close()
+        finally:
+            cap.close()
+
+
+class TestDaemonServe:
+    def test_serve_loop_with_leader(self, tmp_path):
+        """Leader commands drive the daemon's serve() loop end-to-end
+        (START -> file observation -> QUIT)."""
+        import threading
+        from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+        from vlite_fast_tpu.models import synthesis
+        from vlite_fast_tpu.runtime.control import CommandBus, Command, \
+            ObservationDocument
+        from vlite_fast_tpu.runtime.station_main import StationDaemon
+
+        cfg = PipelineConfig.tiny()
+        stream, _ = synthesis.generate_vdif(
+            synthesis.SynthConfig(tobs=1.0, dm=0.0, pulse_period=0.1,
+                                  amp=0.0, sample_rate=cfg.sample_rate,
+                                  bandwidth_mhz=0.5, buflen=250_000),
+            start_second=77)
+        path = tmp_path / "obs.vdif"
+        stream.tofile(path)
+
+        bus = CommandBus(port=38779)
+        d = StationDaemon(9, cfg, SearchConfig.tiny(), str(tmp_path),
+                          command_port=38779, coincidencer=None,
+                          trigger_port=None)
+        t = threading.Thread(
+            target=lambda: d.serve(f"file:{path}", max_observations=1),
+            daemon=True)
+        t.start()
+        try:
+            time.sleep(0.5)
+            bus.publish(Command.START,
+                        ObservationDocument(name="served", scan_no=2))
+            t.join(timeout=30)
+            assert not t.is_alive(), "serve loop did not finish"
+            fils = [f for f in os.listdir(tmp_path) if f.endswith(".fil")]
+            assert fils, "no filterbank produced by served observation"
+        finally:
+            d.shutdown()
+            bus.close()
+
+
 class TestControl:
     def test_scan_state_machine(self):
         sm = ScanStateMachine()
