@@ -9,12 +9,12 @@ scripts/start_heimdall_single_antenna:21 (-nsamps_gulp 30720 -dm 2 1000
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
 
-from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+from vlite_fast_tpu.config import SearchConfig
 from vlite_fast_tpu.ops import dedisperse as dd
 
 

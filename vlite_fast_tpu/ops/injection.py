@@ -13,8 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vlite_fast_tpu import constants as C
-
 
 def frb_delays(nchan: int, dm: float, spectra_per_sec: float,
                freq_top_ghz: float = 0.384,

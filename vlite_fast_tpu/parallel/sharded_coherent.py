@@ -12,13 +12,10 @@ into the mesh's sequence parallelism (SURVEY.md section 5).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vlite_fast_tpu.ops import coherent as coh
 from vlite_fast_tpu.parallel.halo import halo_from_next, halo_from_prev

@@ -18,13 +18,12 @@ SURVEY.md section 1) with SPMD collectives:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from vlite_fast_tpu.config import ArrayConfig

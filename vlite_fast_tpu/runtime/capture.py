@@ -15,7 +15,7 @@ portable UDP sockets — TPU hosts are not on the VLA fiber; the wire format
 from __future__ import annotations
 
 import socket
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, Optional
 
 import numpy as np

@@ -16,7 +16,7 @@ import math
 import socket
 import threading
 import time
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 from enum import Enum
 from typing import Callable, Dict, List, Optional
 

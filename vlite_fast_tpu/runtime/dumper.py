@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
-from typing import List, Optional, Set
-
-import numpy as np
+from dataclasses import dataclass
+from typing import List, Optional
 
 from vlite_fast_tpu import constants as C
 from vlite_fast_tpu.runtime.ring import RingBuffer

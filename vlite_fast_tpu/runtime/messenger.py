@@ -16,8 +16,8 @@ import os
 import socket
 import threading
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 from vlite_fast_tpu.runtime import vla_xml
 from vlite_fast_tpu.runtime.control import (Command, CommandBus,

@@ -17,15 +17,14 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
 
 from vlite_fast_tpu import constants as C
-from vlite_fast_tpu.config import (ArrayConfig, PipelineConfig, SearchConfig,
-                                   TriggerConfig)
+from vlite_fast_tpu.config import ArrayConfig, PipelineConfig, SearchConfig
 from vlite_fast_tpu.models import baseband_dsp as dsp
 from vlite_fast_tpu.models import search as search_mod
 from vlite_fast_tpu.ops import dedisperse as dd

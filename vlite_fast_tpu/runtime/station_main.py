@@ -21,9 +21,7 @@ import threading
 import time
 from typing import Iterator, Optional
 
-import numpy as np
-
-from vlite_fast_tpu.config import PipelineConfig, SearchConfig, TriggerConfig
+from vlite_fast_tpu.config import PipelineConfig, SearchConfig
 from vlite_fast_tpu.runtime import capture as cap
 from vlite_fast_tpu.runtime.candidate_server import CandidateClient
 from vlite_fast_tpu.runtime.control import Command, CommandClient, \

@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 from vlite_fast_tpu.runtime.control import ObservationDocument
 
