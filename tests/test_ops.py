@@ -86,6 +86,37 @@ class TestKurtosis:
         assert w[1, 0] == 1.0 and w[1, -1] == 0.0
         assert 0 < w[0, -1] < 1.0
 
+    def test_flag_mask_agreement_rate(self):
+        """SURVEY section 6 'exactness of statistics': float32 accumulation
+        order shifts TS values near threshold, so parity is defined as the
+        flag-mask agreement rate vs a float64 oracle — require >99.9% on
+        Gaussian data with injected RFI."""
+        rng = np.random.default_rng(11)
+        nkurto, nwin = 50, 4000
+        x = rng.standard_normal((2, nwin * nkurto)).astype(np.float32)
+        # sprinkle impulsive RFI
+        for k in range(0, nwin * nkurto, 9173):
+            x[0, k] += 30.0
+        res = kurtosis.rfi_excise(jnp.asarray(x), nkurto=nkurto, nfft=250)
+        flags_f32 = np.asarray(res.dag) >= C.DAG_THRESH
+
+        # float64 oracle with the same formulas
+        xw = x.astype(np.float64).reshape(2, nwin, nkurto)
+        m2 = (xw ** 2).mean(-1)
+        m4 = (xw ** 4).mean(-1)
+        kur = np.where(m2 == 0, 0.0, m4 / np.where(m2 == 0, 1, m2 ** 2))
+        k = C.dagostino_constants(nkurto)
+        t = (1 - 2 / k["A"]) / (1 + (kur - 3 - k["mu1"]) * k["Z2_3"])
+        dag = np.where(t > 0,
+                       np.abs(k["Z2_1"] * (k["Z2_2"] - np.cbrt(
+                           np.where(t > 0, t, 1)))), C.DAG_INF)
+        dag = np.where(kur == 0, C.DAG_INF, dag)
+        flags_f64 = dag.max(axis=0) >= C.DAG_THRESH
+        agreement = (flags_f32 == flags_f64).mean()
+        assert agreement > 0.999, agreement
+        # and the RFI windows are flagged in both
+        assert flags_f32[0] and flags_f64[0]
+
     def test_fake_mode(self):
         x = self._data(seed=3)
         masked, w = kurtosis.apply_mask(jnp.asarray(x), jnp.zeros(40), 50,
