@@ -366,8 +366,12 @@ def find_candidates(snr: np.ndarray, dms: np.ndarray, tsamp: float,
     vals = snr[hits[:, 0], hits[:, 1], hits[:, 2]]
     order = np.argsort(-vals)
     hits, vals = hits[order], vals[order]
-    if len(vals) > 16 * max_cands:
-        hits, vals = hits[:16 * max_cands], vals[:16 * max_cands]
+    # hard cap on the greedy pass: an RFI storm can produce millions of
+    # crossings, and the merge loop is O(hits * cands) host-side; keeping
+    # the strongest crossings preserves every real event's peak
+    cap = min(16 * max_cands, 20000)
+    if len(vals) > cap:
+        hits, vals = hits[:cap], vals[:cap]
     cands: list[Candidate] = []
     # interval bookkeeping per accepted candidate
     spans: list[list] = []

@@ -137,6 +137,10 @@ class StationDaemon:
 
     def shutdown(self):
         self._stop.set()
+        # join the trigger thread BEFORE tearing down its ring/socket — a
+        # dump in flight must finish or the viewer reads freed shm
+        if self._trigger_thread is not None:
+            self._trigger_thread.join(timeout=5)
         if self.trig_rx:
             self.trig_rx.close()
         if self.cmd:
