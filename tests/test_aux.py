@@ -235,6 +235,18 @@ class TestWaterfall:
         assert w.shape == (16, 8)
         assert abs(w.mean() - d.mean()) < 1e-3
 
+    def test_candidate_png(self, tmp_path):
+        import os
+        from vlite_fast_tpu.ops.dedisperse import Candidate
+        rng = np.random.default_rng(7)
+        fb = rng.standard_normal((800, 32)).astype(np.float32)
+        freqs = 384.0 - np.arange(32) * 0.1
+        c = Candidate(snr=12.0, peak_idx=400, peak_time=0.8, tfilt=2,
+                      dmi=5, dm=80.0, ngiant=3, i0=395, i1=405)
+        out = wfm.render_candidate_png(fb, c, 2e-3, freqs,
+                                       str(tmp_path / "cand.png"))
+        assert os.path.getsize(out) > 5000
+
     def test_png(self, tmp_path):
         wf = np.random.default_rng(0).standard_normal((100, 50))
         out = wfm.render_png(wf, {"tsamp": 0.1, "fch1": 384.0,

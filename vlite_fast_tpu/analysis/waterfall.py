@@ -75,6 +75,40 @@ def watch_and_render(fil_dir: str, out_dir: Optional[str] = None,
     return rendered
 
 
+def render_candidate_png(fb: np.ndarray, cand, tsamp: float,
+                         freqs_mhz: np.ndarray, out_path: str) -> str:
+    """Diagnostic plot for one candidate: the dispersed waterfall cutout,
+    the matched-width smoothed version, and the dedispersed profile (the
+    candidate plots make_plots publishes for triggers)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from vlite_fast_tpu.analysis import cutout as co
+
+    start, blk = co.candidate_block(fb, cand, tsamp, freqs_mhz, wmult=3)
+    sm = co.tophat(blk, cand.tfilt)
+    prof = co.dedispersed_profile(blk, cand.dm, tsamp, freqs_mhz)
+    fig, axes = plt.subplots(3, 1, figsize=(8, 9), dpi=100,
+                             sharex=False)
+    t0, t1 = start * tsamp, (start + blk.shape[0]) * tsamp
+    for ax, data, title in ((axes[0], blk, "raw"),
+                            (axes[1], sm, f"tophat 2^{cand.tfilt}")):
+        lo, hi = np.percentile(data, [5, 95])
+        ax.imshow(data.T, aspect="auto", origin="upper", vmin=lo, vmax=hi,
+                  extent=[t0, t1, freqs_mhz.min(), freqs_mhz.max()])
+        ax.set_ylabel(f"freq [MHz] ({title})")
+    axes[2].plot(t0 + np.arange(len(prof)) * tsamp, prof)
+    axes[2].set_xlabel("time [s]")
+    axes[2].set_ylabel(f"DM {cand.dm:.1f} profile")
+    fig.suptitle(f"S/N {cand.snr:.1f}  DM {cand.dm:.1f}  "
+                 f"w {(cand.i1 - cand.i0) * tsamp * 1e3:.1f} ms")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def render_png(wf: np.ndarray, meta: dict, out_path: str,
                vmin_pct: float = 5, vmax_pct: float = 95) -> str:
     """Render a waterfall PNG (matplotlib, headless)."""
