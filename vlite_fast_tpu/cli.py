@@ -225,6 +225,19 @@ def cmd_clean(args):
                       "files": removed[:50]}))
 
 
+def cmd_scrub_ring(args):
+    """Rebuild a wedged shm ring (the scripts/scrub_dada role): recreate
+    the segment fresh; exit code distinguishes created vs replaced."""
+    from vlite_fast_tpu.runtime.ring import RingBuffer
+    import os
+    existed = os.path.exists(f"/dev/shm{args.name}")
+    rb = RingBuffer(args.name, bufsz=args.bufsz, nbufs=args.nbufs,
+                    create=True)
+    rb.close(unlink=False)
+    print(json.dumps({"ring": args.name, "bufsz": args.bufsz,
+                      "nbufs": args.nbufs, "replaced": existed}))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -314,6 +327,12 @@ def main(argv=None):
     s.add_argument("--days", type=float, default=30.0)
     s.add_argument("--delete", action="store_true")
     s.set_defaults(fn=cmd_clean)
+
+    s = sub.add_parser("scrub-ring", help="rebuild a wedged shm ring")
+    s.add_argument("name")
+    s.add_argument("--bufsz", type=int, required=True)
+    s.add_argument("--nbufs", type=int, default=8)
+    s.set_defaults(fn=cmd_scrub_ring)
 
     s = sub.add_parser("bench", help="headline benchmark")
     s.set_defaults(fn=cmd_bench)

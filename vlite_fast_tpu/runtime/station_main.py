@@ -60,6 +60,21 @@ class StationDaemon:
                 target=self._trigger_loop, daemon=True)
             self._trigger_thread.start()
 
+    def _manual_event_dump(self):
+        """Dump every second currently resident in the history ring."""
+        from vlite_fast_tpu.runtime.trigger import Trigger
+        lo, hi = self.pipeline.ring.resident()
+        if hi <= lo:
+            return None
+        t0 = self.pipeline.ring.slot_timestamp(lo)
+        t1 = self.pipeline.ring.slot_timestamp(hi - 1) + 1.0
+        rec = self.dumper.dump(Trigger(t0=t0, t1=t1, sn=0.0, dm=0.0,
+                                       width=0.0, peak_time=t0,
+                                       meta="manual EVENT"))
+        if rec:
+            self.log.info("EVENT dump %s (%d bytes)", rec.path, rec.nbytes)
+        return rec
+
     def _trigger_loop(self):
         while not self._stop.is_set():
             for t in self.trig_rx.poll():
@@ -92,6 +107,10 @@ class StationDaemon:
                 if cmd == Command.QUIT:
                     self.shutdown()
                     return
+                if cmd == Command.EVENT:
+                    # manual event: dump the ring's current window
+                    # (CMD_EVENT role, ref def.h:7 / event_to_file)
+                    self._manual_event_dump()
                 if cmd in (Command.START, Command.FAKE_START):
                     od = cmd_od or ObservationDocument(name="manual",
                                                        scan_no=2)
