@@ -97,6 +97,47 @@ def test_dm_grid_tol():
     assert steps[-1] > steps[0]
 
 
+def test_array_streaming_mode(tmp_path):
+    """Interleaved multi-antenna serving with mid-observation coincidence
+    (ArrayPipeline.run_streaming): same detections + a trigger + dumps."""
+    from vlite_fast_tpu.config import (AntennaConfig, ArrayConfig,
+                                       TriggerConfig)
+    from vlite_fast_tpu.runtime.pipeline import ArrayPipeline
+    from vlite_fast_tpu.runtime.control import ObservationDocument
+
+    cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61, gulp_samps=512,
+                        boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
+    acfg = ArrayConfig(
+        antennas=(AntennaConfig(1, "ea01"), AntennaConfig(2, "ea02")),
+        pipeline=cfg, search=scfg,
+        trigger=TriggerConfig(min_dm=100.0))
+    ap = ArrayPipeline(acfg, out_dir=str(tmp_path))
+    base_t = 1.7e9
+
+    def seconds_for():
+        s = synthesis.SynthConfig(
+            tobs=2.0, dm=DM_TRUE, pulse_period=0.05, skip_period=16,
+            amp=0.4, seed=21, sample_rate=cfg.sample_rate,
+            freq_bot_mhz=320.0, bandwidth_mhz=0.5, buflen=250_000)
+        samples, _ = synthesis.generate_baseband(s)
+        return [(base_t + k,
+                 samples[:, k * cfg.sample_rate:(k + 1) * cfg.sample_rate])
+                for k in range(2)]
+
+    od = ObservationDocument(name="stream", scan_no=2, start_time=base_t)
+    try:
+        res = ap.run_streaming({1: seconds_for(), 2: seconds_for()}, od,
+                               coincide_every_s=1)
+        for sid, p in res["products"].items():
+            assert p.seconds == 2 and p.candidates
+        assert res["triggers"], "streaming mode produced no trigger"
+        assert abs(res["triggers"][0].dm - DM_TRUE) < 75
+        assert res["dumps"], "streaming mode produced no dumps"
+    finally:
+        ap.close()
+
+
 def test_no_candidates_on_pure_noise():
     cfg = PipelineConfig.tiny()
     raw = synthesis.white_noise_uint8(cfg.sample_rate, seed=31)

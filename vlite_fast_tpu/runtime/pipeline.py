@@ -107,59 +107,80 @@ class StationPipeline:
             with jax.profiler.trace(profile_dir):
                 return self.run_observation(seconds, od, write_fil,
                                             search_live, None)
-        cfg = self.cfg
-        self.state = dsp.init_state(cfg)   # EMA reseeds per obs (SURVEY 5)
+        self.begin_observation(od, write_fil=write_fil,
+                               search_live=search_live)
+        for sec, buf in seconds:
+            self.feed_second(sec, buf)
+        return self.end_observation()
+
+    # --- streaming interface (one observation = begin / feed* / end) -----
+    def begin_observation(self, od: ObservationDocument,
+                          write_fil: bool = True,
+                          search_live: bool = True) -> None:
+        self.state = dsp.init_state(self.cfg)  # EMA reseeds per obs
         self._fb_accum, self._searched_to = [], 0
         self._pending = None
         self._weights_accum = []
-        rt = RTMonitor()
-        fil = None
-        fil_path = None
-        cands: List[dd.Candidate] = []
-        nsec = 0
-        t0_unix = None
+        self._od = od
+        self._write_fil = write_fil
+        self._search_live = search_live
+        self._rt = RTMonitor()
+        self._fil = None
+        self._fil_path = None
+        self._cands: List[dd.Candidate] = []
+        self._nsec = 0
+        self._t0_unix = None
         if self.ring is not None:
             self.ring.set_obs_header(od.to_ascii_header(self.station_id))
-        for sec, buf in seconds:
-            if t0_unix is None:
-                t0_unix = float(sec)
-                if write_fil:
-                    stamp = time.strftime("%Y%m%d_%H%M%S",
-                                          time.gmtime(t0_unix))
-                    fil_path = os.path.join(
-                        self.out_dir,
-                        f"{stamp}_ea{self.station_id:02d}.fil")
-                    fil = sigproc.FilterbankWriter(
-                        fil_path, self._fil_header(od, t0_unix))
-            if self.ring is not None:
-                self.ring.write(buf.reshape(-1), timestamp=float(sec),
-                                flags=FLAG_OBS_START if nsec == 0 else 0,
-                                overwrite=True)
-            arm = jnp.asarray(cfg.inject_frb and nsec % C.INJECT_PERIOD_S == 0)
-            out, self.state = dsp.process_second(
-                cfg, jnp.asarray(buf), self.state, arm)
-            # double-buffered output drain (the reference's 10 s host-side
-            # output buffering, process_baseband.cu:691-697): the previous
-            # second's device result is fetched and post-processed while
-            # this second's dispatch computes asynchronously
-            pending_new = out.packed_kur if cfg.rfi_mode else out.packed
-            if self.write_kurto:
-                self._weights_accum.append(np.asarray(out.weights))
-            if self._pending is not None:
-                self._drain(self._pending, fil, cands, search_live)
-            self._pending = pending_new
-            nsec += 1
-            deficit = rt.add(1.0)
-            if deficit is not None:
-                self.log.warning("falling behind real time by %.2f s",
-                                 deficit)
+
+    def feed_second(self, sec: float, buf: np.ndarray) -> List[dd.Candidate]:
+        """Dispatch one second; returns candidates that became final while
+        this second computes (from the previous drain)."""
+        cfg = self.cfg
+        if self._t0_unix is None:
+            self._t0_unix = float(sec)
+            if self._write_fil:
+                stamp = time.strftime("%Y%m%d_%H%M%S",
+                                      time.gmtime(self._t0_unix))
+                self._fil_path = os.path.join(
+                    self.out_dir, f"{stamp}_ea{self.station_id:02d}.fil")
+                self._fil = sigproc.FilterbankWriter(
+                    self._fil_path, self._fil_header(self._od,
+                                                     self._t0_unix))
+        if self.ring is not None:
+            self.ring.write(buf.reshape(-1), timestamp=float(sec),
+                            flags=FLAG_OBS_START if self._nsec == 0 else 0,
+                            overwrite=True)
+        arm = jnp.asarray(cfg.inject_frb
+                          and self._nsec % C.INJECT_PERIOD_S == 0)
+        out, self.state = dsp.process_second(
+            cfg, jnp.asarray(buf), self.state, arm)
+        # double-buffered output drain (the reference's 10 s host-side
+        # output buffering, process_baseband.cu:691-697): the previous
+        # second's device result is fetched and post-processed while this
+        # second's dispatch computes asynchronously
+        pending_new = out.packed_kur if cfg.rfi_mode else out.packed
+        if self.write_kurto:
+            self._weights_accum.append(np.asarray(out.weights))
+        before = len(self._cands)
         if self._pending is not None:
-            self._drain(self._pending, fil, cands, search_live)
+            self._drain(self._pending)
+        self._pending = pending_new
+        self._nsec += 1
+        deficit = self._rt.add(1.0)
+        if deficit is not None:
+            self.log.warning("falling behind real time by %.2f s", deficit)
+        return self._cands[before:]
+
+    def end_observation(self) -> ObservationProducts:
+        if self._pending is not None:
+            self._drain(self._pending)
             self._pending = None
-        cands.extend(self._search_ready(flush=True))
-        if fil is not None:
-            fil.close()
-        self.metrics.set("vfast_rt_factor", rt.realtime_factor)
+        self._cands.extend(self._search_ready(flush=True))
+        if self._fil is not None:
+            self._fil.close()
+        cands, fil_path = self._cands, self._fil_path
+        self.metrics.set("vfast_rt_factor", self._rt.realtime_factor)
         self.metrics.set("vfast_candidates", len(cands))
         if fil_path and self.write_cands and cands:
             # heimdall-style candidate file alongside the filterbank
@@ -171,18 +192,18 @@ class StationPipeline:
                                 weights=np.concatenate(
                                     self._weights_accum, axis=-1))
         return ObservationProducts(
-            fil_path=fil_path, candidates=cands, seconds=nsec,
-            rt_factor=rt.realtime_factor,
+            fil_path=fil_path, candidates=cands, seconds=self._nsec,
+            rt_factor=self._rt.realtime_factor,
             dropped=self.ring.dropped if self.ring else 0,
-            start_unix=t0_unix or 0.0)
+            start_unix=self._t0_unix or 0.0)
 
-    def _drain(self, packed_dev, fil, cands, search_live: bool) -> None:
+    def _drain(self, packed_dev) -> None:
         packed = np.asarray(packed_dev)
-        if fil is not None:
-            fil.write_block(packed)
+        if self._fil is not None:
+            self._fil.write_block(packed)
         self._fb_accum.append(packed)
-        if search_live:
-            cands.extend(self._search_ready())
+        if self._search_live:
+            self._cands.extend(self._search_ready())
 
     def _search_ready(self, flush: bool = False) -> List[dd.Candidate]:
         """Search any complete gulps accumulated since the last call."""
@@ -223,6 +244,65 @@ class ArrayPipeline:
             for a in acfg.antennas]
         self.tcfg = acfg.trigger
         self.log = make_logger("array")
+
+    def run_streaming(self, per_ant_seconds: Dict[int, Iterable],
+                      od: ObservationDocument,
+                      coincide_every_s: int = 8) -> dict:
+        """Interleaved real-time serving: every data-second is dispatched
+        for ALL stations before any result is drained (async device
+        dispatch overlaps the antennas on one chip — the production
+        topology for ~3-4 antennas/chip), and coincidence + triggering
+        run every `coincide_every_s` seconds instead of at observation end
+        (latency: gulp-bound like the reference's 40-50 s, not
+        observation-bound)."""
+        iters = {st.station_id: iter(per_ant_seconds[st.station_id])
+                 for st in self.stations}
+        for st in self.stations:
+            st.begin_observation(od)
+        dumpers = {st.station_id: TriggeredDumper(
+            st.ring, os.path.join(self.out_dir, "dumps"),
+            station_id=st.station_id, max_dump_s=self.tcfg.max_dump_s)
+            for st in self.stations if st.ring is not None}
+        triggers: List[trig.Trigger] = []
+        dumps = []
+        sent = set()
+        nsec = 0
+        live = dict(iters)
+        while live:
+            for st in self.stations:
+                if st.station_id not in live:
+                    continue
+                try:
+                    sec, buf = next(live[st.station_id])
+                except StopIteration:
+                    del live[st.station_id]
+                    continue
+                st.feed_second(sec, buf)
+            nsec += 1
+            if nsec % coincide_every_s == 0:
+                self._coincide_and_dump(od, triggers, dumps, dumpers, sent)
+        products = {st.station_id: st.end_observation()
+                    for st in self.stations}
+        self._coincide_and_dump(od, triggers, dumps, dumpers, sent)
+        return {"products": products, "triggers": triggers, "dumps": dumps}
+
+    def _coincide_and_dump(self, od, triggers, dumps, dumpers, sent):
+        utc0 = min((st._t0_unix or od.start_time for st in self.stations),
+                   default=od.start_time)
+        per_beam = {st.station_id: list(st._cands) for st in self.stations}
+        coincided = trig.coincidence(per_beam, self.acfg.pipeline.tsamp,
+                                     delta_dm=self.tcfg.delta_dm,
+                                     delta_w=self.tcfg.delta_w)
+        for t in trig.make_triggers(coincided, utc0, self.tcfg):
+            key = (round(t.t0, 3), round(t.dm, 2))
+            if key in sent:
+                continue
+            sent.add(key)
+            triggers.append(t)
+            for d in dumpers.values():
+                rec = d.dump(t)
+                if rec:
+                    dumps.append(rec)
 
     def run_observation(self, per_ant_seconds: Dict[int, Iterable],
                         od: ObservationDocument) -> dict:
