@@ -165,6 +165,9 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         packed_kur, bp_kur = finish_kur(maybe_inject(spectra(x_kur)), bp_kur)
         packed = empty
     else:
+        # NB: batching both streams into one 2x DFT was measured 2x SLOWER
+        # (the concat doubles the live intermediate and breaks the
+        # producer/consumer pipelining XLA finds for sequential streams)
         packed, bp = finish_plain(maybe_inject(spectra(x)), bp)
         packed_kur, bp_kur = finish_kur(maybe_inject(spectra(x_kur)), bp_kur)
 
