@@ -89,7 +89,7 @@ class DedispPlan:
 
     def __init__(self, rel_delays, sub_delays, batch_of_dm, chan_weights,
                  dms: tuple, max_delay: int, max_sub_delay: int,
-                 nsub: int, nchan_eff: float):
+                 nsub: int, nchan_eff: float, rel_delays_max: int = 0):
         self.rel_delays = rel_delays      # (nbatch, nchan) int32 in-subband
         self.sub_delays = sub_delays      # (ndm, nsub) int32 subband refs
         self.batch_of_dm = batch_of_dm    # (ndm,) int32 stage-1 batch index
@@ -99,12 +99,13 @@ class DedispPlan:
         self.max_sub_delay = max_sub_delay
         self.nsub = nsub
         self.nchan_eff = nchan_eff
+        self.rel_delays_max = rel_delays_max
 
     def tree_flatten(self):
         return ((self.rel_delays, self.sub_delays, self.batch_of_dm,
                  self.chan_weights),
                 (self.dms, self.max_delay, self.max_sub_delay, self.nsub,
-                 self.nchan_eff))
+                 self.nchan_eff, self.rel_delays_max))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -153,6 +154,7 @@ def make_plan(dms: np.ndarray, freqs_mhz: np.ndarray, tsamp: float,
         max_sub_delay=int(sub_delays.max()),
         nsub=nsub,
         nchan_eff=float(mask.sum()),
+        rel_delays_max=int(rel.max()) if rel.size else 0,
     )
 
 
@@ -201,9 +203,11 @@ def dedisperse(fb: jax.Array, plan: DedispPlan, ntime_out: int,
     return out.reshape(nchunk * dm_chunk, ntime_out)[:ndm]
 
 
-@partial(jax.jit, static_argnames=("ntime_out", "batch_chunk"))
+@partial(jax.jit, static_argnames=("ntime_out", "batch_chunk",
+                                   "phase_table"))
 def dedisperse_fourier(fb: jax.Array, plan: DedispPlan, ntime_out: int,
-                       batch_chunk: int = 8) -> jax.Array:
+                       batch_chunk: int = 8,
+                       phase_table: bool = False) -> jax.Array:
     """Gather-free dedispersion: time shifts as Fourier phase ramps.
 
     A shift by integer d is exact in the DFT domain:
@@ -233,10 +237,28 @@ def dedisperse_fourier(fb: jax.Array, plan: DedispPlan, ntime_out: int,
     # spectra are built once (trials per batch is uniform by construction)
     per_batch = ndm // nbatch
 
+    # stage 1 needs nbatch*nchan*F phase factors (~1.7e10/gulp at
+    # production scale).  A (max_rel+1, F) table + row gather would avoid
+    # the transcendentals, but measured on TPU the gather MATERIALIZES the
+    # (F, nchan) factor block (4 GB/chunk -> OOM at chunk=8, crawling at
+    # chunk=1) while exp() fuses into the multiply-reduce and never
+    # materializes — so the exp path is the default and the table is an
+    # option for memory-rich backends only.
+    if phase_table:
+        rr = jnp.arange(int(max(plan.rel_delays_max, 1)) + 1,
+                        dtype=jnp.float32)
+        theta_t = omega[None, :] * rr[:, None]
+        table = jax.lax.complex(jnp.cos(theta_t), jnp.sin(theta_t))
+
     def one_batch(args):
         rel_b, sub_b = args          # (chunk, nchan), (chunk*per_batch, nsub)
-        theta = omega[None, :, None] * rel_b[:, None, :].astype(jnp.float32)
-        E = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        if phase_table:
+            E = jnp.take(table, rel_b, axis=0)   # (chunk, nchan, F) rows
+            E = jnp.swapaxes(E, 1, 2)            # (chunk, F, nchan)
+        else:
+            theta = omega[None, :, None] * rel_b[:, None, :].astype(
+                jnp.float32)
+            E = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
         # y_hat[c, f, s] = sum_w X[f, s*w+w'] * E[c, f, s*w+w']
         y = (X[None, :, :] * E).reshape(rel_b.shape[0], nfreq, nsub, w)
         y_hat = jnp.sum(y, axis=-1)                  # (chunk, F, nsub)
