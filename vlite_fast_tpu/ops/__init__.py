@@ -7,4 +7,5 @@ from vlite_fast_tpu.ops import (  # noqa: F401
     injection,
     coherent,
     dedisperse,
+    pallas_kernels,
 )
