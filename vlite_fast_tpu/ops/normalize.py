@@ -148,7 +148,7 @@ def normalize_ema_weighted_assoc(power: jax.Array, weights: jax.Array,
                                  bp: jax.Array, scale: float,
                                  clip_ratio: float = C.BP_CLIP_RATIO,
                                  clip_value: float = C.BP_CLIP_VALUE,
-                                 refine: int = 1
+                                 refine: int = 0
                                  ) -> tuple[jax.Array, jax.Array]:
     """Log-depth detect_and_normalize3.
 
