@@ -59,11 +59,24 @@ class SinglePulseSearch:
 
     def search_gulp(self, fb_block: np.ndarray,
                     t_offset: int = 0) -> List[dd.Candidate]:
+        """Search one gulp.  Blocks are zero-padded to the standard
+        (gulp + overlap) length so every gulp — including ragged stream
+        tails — reuses ONE compiled program (a fresh shape would cost a
+        multi-minute TPU compile mid-observation)."""
+        full = self.scfg.gulp_samps + self.overlap
+        nvalid = fb_block.shape[0] - self.overlap
+        if fb_block.shape[0] < full:
+            pad = np.zeros((full - fb_block.shape[0], fb_block.shape[1]),
+                           fb_block.dtype)
+            fb_block = np.concatenate([fb_block, pad], axis=0)
         snr = np.asarray(self.snr_cube(fb_block))
-        return dd.find_candidates(
+        cands = dd.find_candidates(
             snr, self.dms, self.tsamp, thresh=self.scfg.snr_thresh,
             widths=self.widths, t_offset=t_offset,
             max_cands=self.scfg.max_candidates)
+        # drop anything detected inside the zero padding
+        limit = t_offset + nvalid
+        return [c for c in cands if c.peak_idx < limit]
 
     def search_stream(self, fb: np.ndarray) -> List[dd.Candidate]:
         """Search a long (ntime, nchan) filterbank in overlapping gulps."""
