@@ -2,8 +2,10 @@
 
 The reference channelizes with batched cuFFT R2C plans of NFFT=12500 points,
 2048 transforms per 100 ms chunk (src/process_baseband.cu:593-598,1222-1224).
-Here the transform is jnp.fft.rfft over a reshaped (npol, nspec, nfft) block,
-which XLA lowers to its native TPU FFT.  12500 = 2^2 * 5^5 is a smooth size.
+XLA's native TPU FFT lowering of the non-power-of-2 size measured ~7x
+slower than everything else in the chain combined, so the default
+channelizer is matmul_rfft: the DFT factored as 100x125 Cooley-Tukey
+stages that run as batched matmuls on the MXU.
 
 The polyphase (weighted overlap-add) variant mirrors the offline
 polyphase_filterbank in the reference analysis code

@@ -8,9 +8,11 @@ boxcar_max 64, 24 s gulps).  This module reimplements that engine TPU-first:
   decomposition the dedisp library uses): stage 1 dedisperses channels
   within each subband for a coarse grid of DM batches, stage 2 combines the
   per-subband time series with full-resolution DM shifts.  This cuts the
-  shifted-read traffic by ~nchan/nsub versus direct shift-and-sum while
-  keeping the within-subband delay error below a sample for the default
-  (nsub, nbatch) choice.
+  shifted-read traffic by ~nchan/nsub versus direct shift-and-sum; the
+  within-subband quantization error at the default (nsub=128, nbatch=128)
+  is <=4 samples worst-case in the bottom-band subbands (zero in exact
+  mode, nbatch=ndm) — the same accuracy class as the dedisp library's
+  subband scheme at heimdall's dm_tol.
 * shifts are expressed as take_along_axis reads over a time-padded block —
   static shapes, no data-dependent control flow — and the DM axis is chunked
   with lax.map to bound memory.
