@@ -104,8 +104,10 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
 
         # --- search with halo from the next time shard --------------------
         co_ext = halo_from_next(co, halo, "time")   # (out_samps+halo, chan)
-        dmt = dd.dedisperse(co_ext, plan, ntime_out,
-                            dm_chunk=min(8, scfg.ndm))
+        # Fourier engine: the gather-based subband engine crashes the TPU
+        # runtime at production sizes (see ops/dedisperse docstring)
+        dmt = dd.dedisperse_fourier(co_ext, plan, ntime_out,
+                                    batch_chunk=min(8, scfg.ndm))
         snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
         flat = snr.reshape(-1)
         amax = jnp.argmax(flat)
