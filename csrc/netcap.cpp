@@ -1,0 +1,76 @@
+// Batched UDP capture helper: drain many VDIF-frame datagrams per syscall.
+//
+// The reference's hot capture loop pulls 20 packets per select() wake from
+// a raw PF_PACKET socket (ref src/writer.c:611-614) to sustain 51,200
+// frames/s/antenna.  A Python recvfrom loop pays a syscall + object churn
+// per 5032-byte frame; recvmmsg amortizes that to one syscall per batch,
+// landing frames contiguously so the Python side can parse headers and
+// scatter payloads fully vectorized (runtime/capture.py feed_stream).
+//
+// C ABI for ctypes, compiled into libvfast.so next to the ring buffer.
+
+#include <cstdint>
+#include <cstring>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+extern "C" {
+
+// Receive up to max_frames datagrams of exactly frame_bytes each into the
+// contiguous buffer `buf` (size >= max_frames * frame_bytes).  Waits up to
+// timeout_ms for the first datagram, then drains without blocking.
+// Datagrams whose size differs from frame_bytes are dropped and counted in
+// *anomalous (if non-null).  Returns the number of kept frames, or -1 on
+// socket error.
+int64_t udp_drain(int fd, void* buf, uint64_t frame_bytes,
+                  uint64_t max_frames, int timeout_ms,
+                  uint64_t* anomalous) {
+  if (max_frames == 0) return 0;
+  struct pollfd pfd = {fd, POLLIN, 0};
+  int pr = poll(&pfd, 1, timeout_ms);
+  if (pr <= 0) return pr < 0 ? -1 : 0;
+
+  constexpr unsigned CHUNK = 64;
+  static thread_local mmsghdr msgs[CHUNK];
+  static thread_local iovec iovs[CHUNK];
+
+  char* out = (char*)buf;
+  uint64_t kept = 0, bad = 0;
+  while (kept < max_frames) {
+    unsigned want = max_frames - kept < CHUNK
+                        ? (unsigned)(max_frames - kept) : CHUNK;
+    for (unsigned i = 0; i < want; ++i) {
+      iovs[i].iov_base = out + (kept + i) * frame_bytes;
+      iovs[i].iov_len = frame_bytes;
+      memset(&msgs[i].msg_hdr, 0, sizeof(msghdr));
+      msgs[i].msg_hdr.msg_iov = &iovs[i];
+      msgs[i].msg_hdr.msg_iovlen = 1;
+      msgs[i].msg_len = 0;
+    }
+    int n = recvmmsg(fd, msgs, want, MSG_DONTWAIT, nullptr);
+    if (n <= 0) break;  // EAGAIN => drained
+    // compact out wrong-sized datagrams (truncated reads report msg_len
+    // == frame_bytes only for exact-size frames; oversize sets MSG_TRUNC)
+    uint64_t good = kept;
+    for (int i = 0; i < n; ++i) {
+      bool ok = msgs[i].msg_len == frame_bytes &&
+                !(msgs[i].msg_hdr.msg_flags & MSG_TRUNC);
+      if (!ok) {
+        ++bad;
+        continue;
+      }
+      if (good != kept + (uint64_t)i)
+        memmove(out + good * frame_bytes,
+                out + (kept + i) * frame_bytes, frame_bytes);
+      ++good;
+    }
+    bool drained = (unsigned)n < want;
+    kept = good;
+    if (drained) break;
+  }
+  if (anomalous) *anomalous += bad;
+  return (int64_t)kept;
+}
+
+}  // extern "C"

@@ -168,20 +168,29 @@ int64_t rb_write_overwrite(void* vr, const void* buf, uint64_t nbytes,
 }
 
 // Reader: copy the next slot out.  Returns nbytes, or -1 if empty.
+// Tail advances with compare_exchange so pairing a consuming reader with
+// an overwrite-mode writer (which also advances tail, rb_write_impl above)
+// can never store a stale tail value and move the cursor backwards; on a
+// lost race the slot was overwritten anyway, so retry on the new tail.
 int64_t rb_read(void* vr, void* buf, uint64_t maxbytes,
                 double* timestamp, uint64_t* flags) {
   Ring* r = (Ring*)vr;
   RBHeader* h = r->hdr;
-  uint64_t tail = h->tail.load(std::memory_order_relaxed);
-  if (tail >= h->head.load(std::memory_order_acquire)) return -1;
-  uint64_t idx = tail % h->nbufs;
-  SlotMeta* m = &r->meta[idx];
-  uint64_t n = m->nbytes < maxbytes ? m->nbytes : maxbytes;
-  memcpy(buf, r->data + idx * h->bufsz, n);
-  if (timestamp) *timestamp = m->timestamp;
-  if (flags) *flags = m->flags;
-  h->tail.store(tail + 1, std::memory_order_release);
-  return (int64_t)n;
+  for (;;) {
+    uint64_t tail = h->tail.load(std::memory_order_acquire);
+    if (tail >= h->head.load(std::memory_order_acquire)) return -1;
+    uint64_t idx = tail % h->nbufs;
+    SlotMeta* m = &r->meta[idx];
+    uint64_t n = m->nbytes < maxbytes ? m->nbytes : maxbytes;
+    memcpy(buf, r->data + idx * h->bufsz, n);
+    if (timestamp) *timestamp = m->timestamp;
+    if (flags) *flags = m->flags;
+    if (h->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel))
+      return (int64_t)n;
+    // an overwrite writer reclaimed this slot mid-read; re-read at the
+    // advanced tail (the data just copied may be torn — discard it)
+  }
 }
 
 // Viewer (dumper semantics): copy ANY still-resident slot by sequence

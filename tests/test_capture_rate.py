@@ -1,0 +1,183 @@
+"""Capture-plane fault semantics + sustained-rate soak.
+
+Covers the writer.c behaviors VERDICT flagged as dead in round 1:
+frame-gap accounting via dual-pol frame arithmetic (ref writer.c:310-342),
+escalating warn/abort counters (ref :616-672), packet-time vs wall-clock
+divergence (ref :702-717), and the 51,200 frames/s/antenna wire rate
+(ref def.h:22-23) sustained through recvmmsg -> assembler -> shm ring.
+"""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from vlite_fast_tpu import constants as C
+from vlite_fast_tpu.runtime import capture
+from vlite_fast_tpu.runtime.ring import RingBuffer
+from vlite_fast_tpu.utils import vdif
+
+RATE = 1_000_000  # shrunken sample rate: 200 frames/s/pol for unit tests
+
+
+def make_stream(nsec=2, rate=RATE, start_second=100, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(1, 255, (2, nsec * rate), dtype=np.uint8)
+    return vdif.streams_to_frames(samples, ref_epoch=10,
+                                  start_second=start_second,
+                                  sample_rate=rate), samples
+
+
+def drop_frames(stream: np.ndarray, idx):
+    """Remove frames (by position in the interleaved stream)."""
+    fb = C.VDIF_FRAME_BYTES
+    frames = stream.reshape(-1, fb)
+    keep = np.ones(len(frames), bool)
+    keep[list(idx)] = False
+    return frames[keep].reshape(-1)
+
+
+def test_gap_accounting_counts_missing_frames():
+    stream, samples = make_stream()
+    # drop 3 frames in the middle of the first second
+    asm = capture.SecondAssembler(sample_rate=RATE)
+    done = list(asm.feed_stream(drop_frames(stream, [50, 51, 52])))
+    done += asm.flush()
+    assert asm.stats.skipped == 3
+    assert asm.stats.anomalous == 0
+    # the gap region stays zero-filled; everything else matches
+    sec0 = done[0][1]
+    full = samples[:, :RATE].copy()
+    mask = np.zeros_like(full, bool)
+    for k in (50, 51, 52):
+        pol, frm = k % 2, k // 2
+        mask[pol, frm * C.VDIF_DATA_BYTES:(frm + 1) * C.VDIF_DATA_BYTES] = 1
+    assert np.all(sec0[mask] == 0)
+    assert np.array_equal(sec0[~mask], full[~mask])
+
+
+def test_start_requires_thread0_frame0():
+    stream, _ = make_stream(nsec=1)
+    fb = C.VDIF_FRAME_BYTES
+    # drop the very first (thread 0, frame 0) frame: the stream now begins
+    # with (thread 1, frame 0) -> the assembler must wait for the NEXT
+    # thread-0 frame-0 boundary, i.e. never start within this second
+    asm = capture.SecondAssembler(sample_rate=RATE)
+    asm.feed_stream(stream[fb:])
+    assert asm.stats.frames == 0
+    assert asm._started is False
+
+
+def test_escalating_abort_on_skips():
+    asm = capture.SecondAssembler(sample_rate=RATE)
+    asm.stats.skip_abort = 100
+    stream, _ = make_stream(nsec=1)
+    # drop a long run: 150 frames missing
+    asm.feed_stream(drop_frames(stream, range(10, 160)))
+    assert asm.stats.skipped >= 100
+    assert not asm.stats.healthy()
+    assert "skipped" in asm.stats.abort_reason()
+
+
+def test_clock_skew_detected():
+    asm = capture.SecondAssembler(sample_rate=RATE, wallclock_check=True)
+    stream, _ = make_stream(nsec=1, start_second=100)  # epoch-10 year 2005
+    asm.feed_stream(stream)
+    assert asm.stats.clock_skew_s > 1.0
+    assert "wall clock" in asm.stats.abort_reason()
+
+
+def test_out_of_order_counts_anomalous():
+    stream, _ = make_stream(nsec=1)
+    fb = C.VDIF_FRAME_BYTES
+    frames = stream.reshape(-1, fb).copy()
+    frames[[30, 31]] = frames[[31, 30]]  # swap two frames
+    asm = capture.SecondAssembler(sample_rate=RATE)
+    asm.feed_stream(frames.reshape(-1))
+    assert asm.stats.anomalous >= 1
+
+
+def test_ring_full_abort_reason():
+    st = capture.CaptureStats()
+    assert st.healthy()
+    st.ring_full = True
+    assert st.abort_reason() == "baseband ring full"
+
+
+def test_assembler_ring_soak_reference_rate():
+    """Assembler + shm ring must sustain the production wire rate:
+    51,200 frames/s/antenna (256 MB/s, ref def.h:22-23).  Runs 0.5 s of
+    real-geometry frames through feed_stream + ring writes and requires
+    >= 1x real time."""
+    rate = C.VLITE_RATE
+    half = rate // 2
+    samples = np.random.default_rng(1).integers(
+        1, 255, (2, half), dtype=np.uint8)
+    stream = vdif.streams_to_frames(samples, ref_epoch=10, start_second=7,
+                                    sample_rate=rate)
+    nframes = stream.size // C.VDIF_FRAME_BYTES
+    asm = capture.SecondAssembler(sample_rate=rate)
+    ring = RingBuffer("/vfast_test_soak", bufsz=2 * rate, nbufs=2,
+                      create=True)
+    try:
+        # warm the shm pages (a production ring is long-lived; first-touch
+        # page faults are a one-time cost, not steady state)
+        warm = np.zeros(2 * rate, np.uint8)
+        for _ in range(2):
+            ring.write(warm, timestamp=0.0, overwrite=True)
+        chunk = 2048 * C.VDIF_FRAME_BYTES
+        t0 = time.perf_counter()
+        for off in range(0, stream.size, chunk):
+            for sec, buf in asm.feed_stream(stream[off:off + chunk]):
+                ring.write(buf.reshape(-1), timestamp=float(sec),
+                           overwrite=True)
+        for sec, buf in asm.flush():
+            ring.write(buf.reshape(-1), timestamp=float(sec),
+                       overwrite=True)
+        dt = time.perf_counter() - t0
+    finally:
+        ring.close(unlink=True)
+    fps = nframes / dt
+    assert asm.stats.frames == nframes
+    assert fps >= 51_200, f"assembler+ring too slow: {fps:.0f} frames/s"
+
+
+def test_udp_drain_batch_receive():
+    """recvmmsg helper: batch of datagrams lands contiguously; short
+    datagrams are dropped and counted; gaps across the socket still feed
+    the skip counters."""
+    rate = RATE
+    stream, _ = make_stream(nsec=1, rate=rate)
+    fb = C.VDIF_FRAME_BYTES
+    frames = drop_frames(stream, [40, 41]).reshape(-1, fb)
+
+    rx = capture.UDPCapture(port=0, sample_rate=rate, batch=512)
+    if rx._lib is None:
+        rx.close()
+        pytest.skip("netcap helper unavailable")
+    port = rx.sock.getsockname()[1]
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        done = []
+        sent = 0
+        runt = b"x" * 100
+        for i in range(0, len(frames), 128):
+            for f in frames[i:i + 128]:
+                tx.sendto(f.tobytes(), ("127.0.0.1", port))
+                sent += 1
+            if i == 0:
+                tx.sendto(runt, ("127.0.0.1", port))  # anomalous size
+            done += rx.poll(max_frames=512)
+        deadline = time.time() + 2.0
+        while rx.asm.stats.frames < sent - 2 and time.time() < deadline:
+            done += rx.poll(max_frames=512)
+        done += [(capture.to_unix(s, rx.asm.ref_epoch), b)
+                 for s, b in rx.asm.flush()]
+    finally:
+        tx.close()
+        rx.close()
+    assert rx.asm.stats.frames >= sent - 2  # loopback rarely drops
+    assert rx.asm.stats.skipped >= 2        # the dropped frames
+    assert rx.asm.stats.anomalous >= 1      # the runt datagram
+    assert len(done) >= 1

@@ -144,3 +144,46 @@ def test_zap_channels():
     dmt = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out))
     # zapped hot channel must not dominate
     assert dmt.mean() < 10.0
+
+
+def test_pallas_matches_oracle_exact():
+    """Pallas engine in exact mode (nbatch=ndm) vs the numpy oracle
+    (interpret mode off-TPU; the production path on the chip)."""
+    from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+    fb, freqs, _ = make_fb()
+    dms = dd.dm_grid(0, 300, 32)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=32)
+    ntime_out = fb.shape[0] - plan.max_delay
+    out = np.asarray(ddp.dedisperse_pallas(jnp.asarray(fb), plan,
+                                           ntime_out))
+    full = dd.delay_table(dms, freqs, 2e-3)
+    ref = dd.dedisperse_reference(fb, full, ntime_out)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_identical_to_subband_engine():
+    """Approximate (nbatch < ndm) mode: the Pallas engine computes the
+    SAME two-stage decomposition as the gather engine — results must agree
+    to float rounding."""
+    from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+    fb, freqs, _ = make_fb(ntime=600, nchan=32)
+    dms = dd.dm_grid(0, 300, 64)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=8, nbatch=16)
+    ntime_out = fb.shape[0] - plan.max_delay
+    a = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out,
+                                 dm_chunk=8))
+    b = np.asarray(ddp.dedisperse_pallas(jnp.asarray(fb), plan, ntime_out))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_zap_channels():
+    from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+    fb, freqs, _ = make_fb()
+    fb[:, 3] += 100.0
+    dms = dd.dm_grid(0, 300, 16)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=16,
+                        zap_ranges=((0, 8),))
+    ntime_out = fb.shape[0] - plan.max_delay
+    dmt = np.asarray(ddp.dedisperse_pallas(jnp.asarray(fb), plan,
+                                           ntime_out))
+    assert dmt.mean() < 10.0

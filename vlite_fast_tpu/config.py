@@ -172,7 +172,12 @@ class SearchConfig:
     zap_ranges: Tuple[Tuple[int, int], ...] = ((0, 190), (3900, 4096))
     max_candidates: int = 4096     # static candidate-buffer size per gulp
     cluster_radius: int = 8        # samples; merge nearby boxcar peaks
-    engine: str = "fourier"        # 'subband' (gathers) | 'fourier' (dense)
+    engine: str = "auto"           # 'auto' (pallas on TPU, subband off-TPU)
+                                   # | 'pallas' (VMEM shift-and-sum, 4.9x
+                                   # the fourier engine at production
+                                   # geometry) | 'fourier' (dense phase
+                                   # ramps) | 'subband' (gathers; faults
+                                   # the TPU runtime at production size)
     nsub: int = 128                # subbands in the two-stage decomposition
     nbatch: int = 128              # stage-1 DM batches; 64 halves the
                                    # dominant traffic (47x vs 27x RT/gulp
@@ -192,6 +197,9 @@ class TriggerConfig:
     """Coincidencer cuts (ref src/trigger.py:45,148 and candidate.py:49-64)."""
 
     snr_thresh: float = C.TRIGGER_SNR
+    # coadded-stream candidates carry the whole array's vote: no
+    # min_beams cut, slightly higher S/N bar (the agtriggerhook role)
+    coadd_snr_thresh: float = C.TRIGGER_SNR
     min_beams: int = C.TRIGGER_MIN_BEAMS
     max_width_s: float = C.TRIGGER_MAX_WIDTH_S
     min_dm: float = C.TRIGGER_MIN_DM

@@ -100,22 +100,38 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
         # --- coadd over the full 'ant' axis (ICI all-reduce) --------------
         fb = q_ops.dequantize(packed, cfg.nbit)
         fb = fb.reshape(ant_l, tblk_l, out_samps, -1)[..., :cfg.nchanout]
-        co = coadd_psum(fb[:, 0], "ant", nant)      # (out_samps, nchanout)
+        co = coadd_psum(fb, "ant", nant)    # (tblk_l, out_samps, nchanout)
 
-        # --- search with halo from the next time shard --------------------
-        co_ext = halo_from_next(co, halo, "time")   # (out_samps+halo, chan)
-        # Fourier engine: the gather-based subband engine crashes the TPU
-        # runtime at production sizes (see ops/dedisperse docstring)
-        dmt = dd.dedisperse_fourier(co_ext, plan, ntime_out,
-                                    batch_chunk=min(8, scfg.ndm))
+        # --- search EVERY local time block ---------------------------------
+        # flatten the shard's blocks into one contiguous span; the
+        # overlap-save halo from the next time shard covers the final
+        # block's DM-delay lookahead (interior blocks read their in-shard
+        # successor for free)
+        local_T = tblk_l * out_samps
+        co_flat = co.reshape(local_T, cfg.nchanout)
+        co_ext = halo_from_next(co_flat, halo, "time")  # (local_T+halo, ch)
+        engine = search_mod.resolve_engine(scfg.engine)
+        if engine == "pallas":
+            from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+            dmt = ddp.dedisperse_pallas(co_ext, plan, local_T)
+        elif engine == "subband":
+            dmt = dd.dedisperse(co_ext, plan, local_T)
+        else:
+            dmt = dd.dedisperse_fourier(co_ext, plan, local_T,
+                                        batch_chunk=min(8, scfg.ndm))
         snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
-        flat = snr.reshape(-1)
-        amax = jnp.argmax(flat)
-        nw, ndm_, nt_ = snr.shape
-        peak = jnp.stack([amax // (ndm_ * nt_),
-                          (amax // nt_) % ndm_,
-                          amax % nt_]).astype(jnp.int32)
-        return (packed, jnp.max(flat)[None], peak[None],
+        nw, ndm_, _ = snr.shape
+        # per-block peak over (width, DM, in-block time)
+        snr_b = snr.reshape(nw, ndm_, tblk_l, out_samps)
+        # swapaxes(2,0): (tblk_l, ndm_, nw, out_samps); flat row-major
+        # index = (idm * nw + iw) * out_samps + it
+        flat = jnp.swapaxes(snr_b, 2, 0).reshape(tblk_l, -1)
+        amax = jnp.argmax(flat, axis=1)                  # (tblk_l,)
+        idm = amax // (nw * out_samps)
+        iw = (amax // out_samps) % nw
+        it = amax % out_samps
+        peak = jnp.stack([iw, idm, it], axis=1).astype(jnp.int32)
+        return (packed, jnp.max(flat, axis=1), peak,
                 wmean, st_new.bp, st_new.bp_kur)
 
     pspec_at = P("ant", "time")

@@ -2,41 +2,77 @@
 
 The writer role (ref src/writer.c:344-800): consume VDIF frames (live UDP or
 replayed from disk, the readbase role ref src/readbase.c:35-107), detect
-drops via frame arithmetic, synthesize zero-filled frames for gaps (zero is
-the unpack flag value, ops/unpack.py), align output to 1-second boundaries
-(thread 0 frame 0), and emit (npol, sample_rate) uint8 second-buffers into
-the baseband ring.
+drops via dual-pol frame arithmetic (ref src/writer.c:310-342), synthesize
+zero-filled gaps (zero is the unpack flag value, ops/unpack.py), align
+output to 1-second boundaries (thread 0, frame 0, ref src/writer.c:694),
+and emit (npol, sample_rate) uint8 second-buffers into the baseband ring.
+
+Fault semantics match writer.c's fail-fast philosophy (SURVEY.md section 5):
+escalating counters for skipped frames (warn at 1000, abort the observation
+at 50000, ref writer.c:35-37,663-672) and anomalous packets (100/500, ref
+:32-34,626-645); packet-time vs wall-clock divergence > 1 s aborts (ref
+:702-717); a full ring aborts (ref :719-727).  `CaptureStats.abort_reason`
+is the hook the station daemon polls.
 
 Unlike the reference's raw PF_PACKET capture (src/utils.c:345-407) this uses
 portable UDP sockets — TPU hosts are not on the VLA fiber; the wire format
-(one VDIF frame per datagram) is preserved.
+(one VDIF frame per datagram) is preserved.  The hot receive path drains
+whole batches per syscall via the C++ recvmmsg helper (csrc/netcap.cpp,
+the role of the reference's 20-packet recvfrom burst, writer.c:611-614) and
+frame scatter into the second buffer is a single vectorized assignment.
 """
 
 from __future__ import annotations
 
 import socket
+import time
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from vlite_fast_tpu import constants as C
 from vlite_fast_tpu.utils import vdif
+from vlite_fast_tpu.utils.log import make_logger
 
 
 @dataclass
 class CaptureStats:
-    """Escalating counters (ref src/writer.c:32-37,616-672)."""
+    """Escalating fault counters (ref src/writer.c:32-37,616-672)."""
 
-    frames: int = 0
-    skipped: int = 0
-    anomalous: int = 0
+    frames: int = 0            # good frames placed
+    skipped: int = 0           # gap-filled (missing) frames
+    anomalous: int = 0         # bad-size / out-of-order packets
     seconds: int = 0
-    skip_warn: int = 1000
-    skip_abort: int = 50000
+    clock_skew_s: float = 0.0  # worst |packet time - wall clock| observed
+    ring_full: bool = False    # set by the ring-writing stage
+    skip_warn: int = 1000      # ref writer.c:35
+    skip_abort: int = 50000    # ref writer.c:36
+    anomaly_warn: int = 100    # ref writer.c:32
+    anomaly_abort: int = 500   # ref writer.c:33
+    max_clock_skew_s: float = 1.0  # ref writer.c:702-717
 
     def healthy(self) -> bool:
-        return self.skipped < self.skip_abort
+        return self.abort_reason() is None
+
+    def abort_reason(self) -> Optional[str]:
+        """Non-None ends the observation (the writer.c abort conditions)."""
+        if self.skipped >= self.skip_abort:
+            return f"skipped {self.skipped} frames (>= {self.skip_abort})"
+        if self.anomalous >= self.anomaly_abort:
+            return (f"{self.anomalous} anomalous packets "
+                    f"(>= {self.anomaly_abort})")
+        if self.clock_skew_s > self.max_clock_skew_s:
+            return (f"packet time diverges from wall clock by "
+                    f"{self.clock_skew_s:.2f} s")
+        if self.ring_full:
+            return "baseband ring full"
+        return None
+
+    def reset(self) -> None:
+        self.frames = self.skipped = self.anomalous = self.seconds = 0
+        self.clock_skew_s = 0.0
+        self.ring_full = False
 
 
 class SecondAssembler:
@@ -44,19 +80,70 @@ class SecondAssembler:
 
     Feed frames in arrival order; emits (second, samples[2, rate]) once a
     second completes (a frame of a later second arrives).  Missing frames
-    stay zero (gap-fill, ref src/writer.c:674-687).
+    stay zero (gap-fill, ref src/writer.c:674-687) and are COUNTED via
+    frame-index arithmetic so the escalating skip thresholds can fire.
     """
 
-    def __init__(self, sample_rate: int = C.VLITE_RATE):
+    def __init__(self, sample_rate: int = C.VLITE_RATE,
+                 wallclock_check: bool = False):
         self.sample_rate = sample_rate
         self.frames_per_sec = sample_rate // C.VDIF_DATA_BYTES
         self.stats = CaptureStats()
+        self.wallclock_check = wallclock_check
+        self.log = make_logger("capture")
         self._current_sec: Optional[int] = None
         self._buf = np.zeros((2, sample_rate), dtype=np.uint8)
         self._filled = 0
         self._started = False
+        self._last_index: Optional[int] = None  # dual-pol frame counter
+        self._warned_skip = False
+        self._warned_anom = False
         self.ref_epoch = 0
 
+    # -- fault accounting -------------------------------------------------
+    def _frame_index(self, seconds, frames, threads):
+        """Dual-pol frame counter at THIS assembler's rate (the
+        vdif.frame_index convention, ref writer.c:310-321, generalized to
+        shrunken test rates)."""
+        thread = (np.asarray(threads) != 0).astype(np.int64)
+        return (np.asarray(seconds, np.int64) * (2 * self.frames_per_sec)
+                + np.asarray(frames, np.int64) * 2 + thread)
+
+    def _account_gap(self, seconds: int, frame: int, thread: int) -> None:
+        """Dual-pol frame-index arithmetic (ref writer.c:310-342): any jump
+        of more than 1 means frames were lost and will stay zero-filled."""
+        idx = int(self._frame_index(seconds, frame, thread))
+        if self._last_index is not None:
+            diff = idx - self._last_index
+            if diff <= 0:
+                self.stats.anomalous += 1
+                self._maybe_warn()
+                return
+            if diff > 1:
+                self.stats.skipped += diff - 1
+                self._maybe_warn()
+        self._last_index = idx
+
+    def _maybe_warn(self) -> None:
+        s = self.stats
+        if not self._warned_skip and s.skipped >= s.skip_warn:
+            self._warned_skip = True
+            self.log.warning("skipped %d frames (warn threshold %d)",
+                             s.skipped, s.skip_warn)
+        if not self._warned_anom and s.anomalous >= s.anomaly_warn:
+            self._warned_anom = True
+            self.log.warning("%d anomalous packets (warn threshold %d)",
+                             s.anomalous, s.anomaly_warn)
+
+    def _check_wallclock(self, seconds: int) -> None:
+        """Packet-time vs system-clock divergence (ref writer.c:702-717)."""
+        if not self.wallclock_check:
+            return
+        skew = abs(to_unix(seconds, self.ref_epoch) - time.time())
+        if skew > self.stats.clock_skew_s:
+            self.stats.clock_skew_s = skew
+
+    # -- assembly ---------------------------------------------------------
     def _flush(self):
         out = (self._current_sec, self._buf)
         self._buf = np.zeros((2, self.sample_rate), dtype=np.uint8)
@@ -65,27 +152,30 @@ class SecondAssembler:
 
     def feed(self, seconds: int, frame: int, thread: int,
              payload: np.ndarray):
-        """Feed one frame; yields completed (second, samples) tuples."""
+        """Feed one frame; returns completed (second, samples) tuples."""
         done = []
         if not self._started:
-            # wait for a 1 s boundary: thread 0, frame 0 (ref writer.c:694)
-            if frame != 0:
+            # wait for a 1 s boundary: thread 0 AND frame 0 (writer.c:694)
+            if frame != 0 or thread != 0:
                 return done
             self._started = True
             self._current_sec = seconds
+            self._check_wallclock(seconds)
+        self._account_gap(seconds, frame, thread)
         if seconds != self._current_sec:
             if seconds < self._current_sec:
-                self.stats.anomalous += 1
-                return done
+                return done       # counted as anomalous by _account_gap
             while self._current_sec < seconds:
                 done.append(self._flush())
                 self.stats.seconds += 1
                 self._current_sec += 1
+            self._check_wallclock(seconds)
         pol = 1 if thread != 0 else 0
         off = frame * C.VDIF_DATA_BYTES
         n = min(C.VDIF_DATA_BYTES, self.sample_rate - off)
         if n <= 0:
             self.stats.anomalous += 1
+            self._maybe_warn()
             return done
         self._buf[pol, off:off + n] = payload[:n]
         self._filled += 1
@@ -103,7 +193,13 @@ class SecondAssembler:
         return out
 
     def feed_stream(self, raw: np.ndarray):
-        """Feed a contiguous byte stream of frames; yields completed secs."""
+        """Feed a contiguous byte stream of frames; returns completed secs.
+
+        Hot path: frames belonging to the current second are scattered in
+        ONE vectorized assignment; only second-boundary frames fall back to
+        the per-frame path.  This is what lets a Python host keep up with
+        the 51,200 frames/s/antenna wire rate (see tests/test_capture_rate).
+        """
         frame_bytes = C.VDIF_FRAME_BYTES
         raw = np.asarray(raw, dtype=np.uint8)
         nframes = raw.size // frame_bytes
@@ -111,12 +207,43 @@ class SecondAssembler:
         fields = vdif.parse_headers(frames[:, :C.VDIF_HEADER_BYTES])
         if nframes:
             self.ref_epoch = int(fields["ref_epoch"][0])
-        done = []
-        for i in range(nframes):
-            done.extend(self.feed(int(fields["seconds"][i]),
-                                  int(fields["frame"][i]),
-                                  int(fields["thread_id"][i]),
-                                  frames[i, C.VDIF_HEADER_BYTES:]))
+        secs = fields["seconds"].astype(np.int64)
+        frm = fields["frame"].astype(np.int64)
+        thr = fields["thread_id"].astype(np.int64)
+        done: list = []
+        i = 0
+        fps = self.frames_per_sec
+        payload_view = frames[:, C.VDIF_HEADER_BYTES:]
+        while i < nframes:
+            if not self._started or secs[i] != self._current_sec or \
+                    frm[i] * C.VDIF_DATA_BYTES + C.VDIF_DATA_BYTES \
+                    > self.sample_rate:
+                done.extend(self.feed(int(secs[i]), int(frm[i]),
+                                      int(thr[i]), payload_view[i]))
+                i += 1
+                continue
+            # vectorized run: all consecutive frames of the current second
+            j = i
+            cur = self._current_sec
+            while j < nframes and secs[j] == cur and frm[j] < fps:
+                j += 1
+            pol = (thr[i:j] != 0).astype(np.int64)
+            bufv = self._buf.reshape(2, fps, C.VDIF_DATA_BYTES)
+            bufv[pol, frm[i:j]] = payload_view[i:j]
+            # gap + order accounting over the run in one pass
+            idx = self._frame_index(secs[i:j], frm[i:j], thr[i:j])
+            prev = self._last_index if self._last_index is not None \
+                else idx[0] - 1
+            d = np.diff(np.concatenate([[prev], idx]))
+            bad = int((d <= 0).sum())
+            self.stats.anomalous += bad
+            self.stats.skipped += int(d[d > 1].sum() - (d > 1).sum())
+            if bad or (d > 1).any():
+                self._maybe_warn()
+            self._last_index = int(idx[-1])
+            self.stats.frames += j - i
+            self._filled += j - i
+            i = j
         return done
 
 
@@ -143,33 +270,65 @@ def replay_file(path: str, chunk_frames: int = 4096,
         yield to_unix(sec, asm.ref_epoch), buf, asm.ref_epoch
 
 
+def _netcap_lib():
+    """ctypes handle to the csrc batch-receive helper, or None."""
+    try:
+        from vlite_fast_tpu.runtime.ring import get_lib
+        return get_lib()
+    except Exception:
+        return None
+
+
 class UDPCapture:
-    """Live capture: one VDIF frame per UDP datagram -> SecondAssembler."""
+    """Live capture: one VDIF frame per UDP datagram -> SecondAssembler.
+
+    Batches receives through recvmmsg (csrc/netcap.cpp) — one syscall per
+    `batch` datagrams instead of one per frame — falling back to a Python
+    recvfrom loop where the helper is unavailable.
+    """
 
     def __init__(self, host: str = "0.0.0.0", port: int = 20000,
-                 sample_rate: int = C.VLITE_RATE):
+                 sample_rate: int = C.VLITE_RATE, batch: int = 256,
+                 wallclock_check: bool = False):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
                              64 * 1024 * 1024)
         self.sock.bind((host, port))
         self.sock.settimeout(0.5)
-        self.asm = SecondAssembler(sample_rate)
+        self.asm = SecondAssembler(sample_rate,
+                                   wallclock_check=wallclock_check)
+        self.batch = batch
+        self._lib = _netcap_lib()
+        self._scratch = np.empty(batch * C.VDIF_FRAME_BYTES, np.uint8)
 
     def poll(self, max_frames: int = 256) -> list:
         """Receive up to max_frames datagrams (the reference drains 20 per
         select wake, writer.c:611-614); returns completed
         (unix_second, samples) tuples."""
         done = []
-        for _ in range(max_frames):
-            try:
-                pkt, _ = self.sock.recvfrom(C.VDIF_FRAME_BYTES + 64)
-            except socket.timeout:
-                break
-            if len(pkt) < C.VDIF_FRAME_BYTES:
-                self.asm.stats.anomalous += 1
-                continue
-            done.extend(self.asm.feed_stream(
-                np.frombuffer(pkt[:C.VDIF_FRAME_BYTES], np.uint8)))
+        if self._lib is not None:
+            import ctypes
+            nb = min(max_frames, self.batch)
+            bad = ctypes.c_uint64(0)
+            got = self._lib.udp_drain(
+                self.sock.fileno(),
+                self._scratch.ctypes.data_as(ctypes.c_void_p),
+                C.VDIF_FRAME_BYTES, nb, 200, ctypes.byref(bad))
+            self.asm.stats.anomalous += bad.value
+            if got > 0:
+                done.extend(self.asm.feed_stream(
+                    self._scratch[:got * C.VDIF_FRAME_BYTES]))
+        else:
+            for _ in range(max_frames):
+                try:
+                    pkt, _ = self.sock.recvfrom(C.VDIF_FRAME_BYTES + 64)
+                except socket.timeout:
+                    break
+                if len(pkt) < C.VDIF_FRAME_BYTES:
+                    self.asm.stats.anomalous += 1
+                    continue
+                done.extend(self.asm.feed_stream(
+                    np.frombuffer(pkt[:C.VDIF_FRAME_BYTES], np.uint8)))
         return [(to_unix(s, self.asm.ref_epoch), b) for s, b in done]
 
     def close(self):

@@ -36,6 +36,44 @@ from vlite_fast_tpu.utils import sigproc
 from vlite_fast_tpu.utils.log import Metrics, RTMonitor, make_logger
 
 
+class GulpStream:
+    """Bounded streaming block accumulator for gulp searches.
+
+    Holds consecutive (nsamp, ...) blocks with absolute sample offsets;
+    consumers fetch [start, stop) windows and prune consumed blocks so
+    memory stays O(gulp), not O(observation) — the fix for round-1's
+    O(T^2) drain (ADVICE.md)."""
+
+    def __init__(self):
+        self.blocks: List[np.ndarray] = []
+        self.start = 0          # absolute sample index of blocks[0][0]
+
+    @property
+    def total(self) -> int:
+        return self.start + sum(b.shape[0] for b in self.blocks)
+
+    def append(self, block: np.ndarray) -> None:
+        self.blocks.append(block)
+
+    def window(self, start: int, stop: int) -> np.ndarray:
+        parts = []
+        off = self.start
+        for blk in self.blocks:
+            lo, hi = max(start - off, 0), min(stop - off, blk.shape[0])
+            if lo < hi:
+                parts.append(blk[lo:hi])
+            off += blk.shape[0]
+            if off >= stop:
+                break
+        return np.concatenate(parts, axis=0) if len(parts) != 1 else parts[0]
+
+    def prune(self, keep_from: int) -> None:
+        while self.blocks and (
+                self.start + self.blocks[0].shape[0] <= keep_from):
+            self.start += self.blocks[0].shape[0]
+            self.blocks.pop(0)
+
+
 @dataclass
 class ObservationProducts:
     fil_path: Optional[str]
@@ -75,10 +113,14 @@ class StationPipeline:
         self.write_kurto = write_kurto   # WRITE_KURTO role (weights dump)
         self._weights_accum: List[np.ndarray] = []
         self.state = dsp.init_state(cfg)
-        self._fb_accum: List[np.ndarray] = []
+        self._fb = GulpStream()
         self._searched_to = 0
         self._pending = None   # device handle of the last second's output
         self._out_samps_per_sec = cfg.seg_per_sec * cfg.out_samps_per_seg
+        # taps: callables (station_id, abs_offset, packed_block) invoked on
+        # every drained block (the coadd-ring writer role,
+        # ref process_baseband.cu:1416-1422)
+        self.block_taps: List = []
 
     def _fil_header(self, od: ObservationDocument,
                     tstart_unix: float) -> sigproc.FilterbankHeader:
@@ -118,7 +160,7 @@ class StationPipeline:
                           write_fil: bool = True,
                           search_live: bool = True) -> None:
         self.state = dsp.init_state(self.cfg)  # EMA reseeds per obs
-        self._fb_accum, self._searched_to = [], 0
+        self._fb, self._searched_to = GulpStream(), 0
         self._pending = None
         self._weights_accum = []
         self._od = od
@@ -201,26 +243,33 @@ class StationPipeline:
         packed = np.asarray(packed_dev)
         if self._fil is not None:
             self._fil.write_block(packed)
-        self._fb_accum.append(packed)
+        offset = self._fb.total
+        self._fb.append(packed)
+        for tap in self.block_taps:
+            tap(self.station_id, offset, packed)
         if self._search_live:
             self._cands.extend(self._search_ready())
 
     def _search_ready(self, flush: bool = False) -> List[dd.Candidate]:
-        """Search any complete gulps accumulated since the last call."""
+        """Search any complete gulps accumulated since the last call.
+
+        Only the new gulp window is unpacked (the packed accumulator is
+        pruned as gulps complete) — per-gulp cost is O(gulp), not
+        O(observation so far)."""
         gulp = self.scfg.gulp_samps
         overlap = self.search.overlap
-        total = sum(b.shape[0] for b in self._fb_accum)
+        total = self._fb.total
         out: List[dd.Candidate] = []
         while total - self._searched_to >= gulp + overlap or (
                 flush and total - self._searched_to > overlap + 64):
-            fb_all = search_mod.filterbank_from_packed(
-                np.concatenate(self._fb_accum, axis=0),
-                self.cfg.nbit, self.cfg.nchanout)
-            block = fb_all[self._searched_to:
-                           self._searched_to + gulp + overlap]
+            stop = min(self._searched_to + gulp + overlap, total)
+            packed = self._fb.window(self._searched_to, stop)
+            block = search_mod.filterbank_from_packed(
+                packed, self.cfg.nbit, self.cfg.nchanout)
             out.extend(self.search.search_gulp(
                 block, t_offset=self._searched_to))
             self._searched_to += min(gulp, block.shape[0] - overlap)
+            self._fb.prune(self._searched_to)
             if flush and total - self._searched_to <= overlap + 64:
                 break
         return out
@@ -230,12 +279,96 @@ class StationPipeline:
             self.ring.close(unlink=True)
 
 
+COADD_BEAM = -1   # pseudo-beam id of the coadded stream
+
+
+class CoaddSearcher:
+    """Search the coadded filterbank stream in the host runtime.
+
+    The reference's sqrt(N) sensitivity path: every antenna's
+    process_baseband also writes a coadd ring, agdadacoadd MPI-reduces
+    them, and agtriggerhook searches the sum (ref scripts/start_coadd:19-57,
+    scripts/start_process:21).  Here the per-station DSP taps feed packed
+    blocks; once every station has delivered a sample range, the dequantized
+    sum (1/sqrt(N) scaled, models/coadd.coadd) enters a gulp search
+    identical to the per-beam one.  Candidates carry beam COADD_BEAM.
+    """
+
+    def __init__(self, station_ids: List[int], cfg: PipelineConfig,
+                 scfg: SearchConfig, nsub: int = 0, nbatch: int = 0):
+        self.cfg, self.scfg = cfg, scfg
+        self.station_ids = list(station_ids)
+        freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                    - 0.5) * cfg.chan_bw_mhz
+        self.search = search_mod.SinglePulseSearch(
+            scfg, cfg.tsamp, freqs,
+            nsub=nsub or min(128, cfg.nchanout),
+            nbatch=nbatch or min(scfg.ndm, 128))
+        self._pending: Dict[int, List[np.ndarray]] = {
+            sid: [] for sid in self.station_ids}
+        self._co = GulpStream()
+        self._searched_to = 0
+        self.cands: List[dd.Candidate] = []
+        self.log = make_logger("coadd")
+
+    def reset(self) -> None:
+        self._pending = {sid: [] for sid in self.station_ids}
+        self._co, self._searched_to = GulpStream(), 0
+        self.cands = []
+
+    def tap(self, station_id: int, offset: int, packed: np.ndarray) -> None:
+        """StationPipeline block tap: collect, and coadd whatever sample
+        range every station has now delivered."""
+        self._pending[station_id].append(packed)
+        self._advance()
+
+    def _advance(self) -> None:
+        while all(self._pending[sid] for sid in self.station_ids):
+            blocks = [self._pending[sid].pop(0) for sid in self.station_ids]
+            n = min(b.shape[0] for b in blocks)
+            if any(b.shape[0] != n for b in blocks):
+                # ragged seconds should not happen in lockstep feeding;
+                # trim defensively and warn
+                self.log.warning("ragged coadd blocks: %s",
+                                 [b.shape[0] for b in blocks])
+                blocks = [b[:n] for b in blocks]
+            fbs = np.stack([search_mod.filterbank_from_packed(
+                b, self.cfg.nbit, self.cfg.nchanout) for b in blocks])
+            co = fbs.sum(axis=0) * np.float32(1.0 / np.sqrt(len(fbs)))
+            # float16 storage halves the rolling-window footprint; values
+            # are O(10) sums of quantization levels — no precision concern
+            self._co.append(co.astype(np.float16))
+            self.cands.extend(self._search_ready())
+
+    def _search_ready(self, flush: bool = False) -> List[dd.Candidate]:
+        gulp = self.scfg.gulp_samps
+        overlap = self.search.overlap
+        total = self._co.total
+        out: List[dd.Candidate] = []
+        while total - self._searched_to >= gulp + overlap or (
+                flush and total - self._searched_to > overlap + 64):
+            stop = min(self._searched_to + gulp + overlap, total)
+            block = self._co.window(self._searched_to,
+                                    stop).astype(np.float32)
+            out.extend(self.search.search_gulp(
+                block, t_offset=self._searched_to))
+            self._searched_to += min(gulp, block.shape[0] - overlap)
+            self._co.prune(self._searched_to)
+            if flush and total - self._searched_to <= overlap + 64:
+                break
+        return out
+
+    def finish(self) -> List[dd.Candidate]:
+        self.cands.extend(self._search_ready(flush=True))
+        return self.cands
+
+
 class ArrayPipeline:
     """N stations + coincidencer + triggered dumps (the cluster roles of
     messenger/trigger.py/dumper on one host or one host's share)."""
 
     def __init__(self, acfg: ArrayConfig, out_dir: str = "/tmp/vfast",
-                 keep_rings: bool = True):
+                 keep_rings: bool = True, search_coadd: bool = True):
         self.acfg = acfg
         self.out_dir = out_dir
         self.stations = [
@@ -244,6 +377,13 @@ class ArrayPipeline:
             for a in acfg.antennas]
         self.tcfg = acfg.trigger
         self.log = make_logger("array")
+        self.coadd: Optional[CoaddSearcher] = None
+        if search_coadd and len(self.stations) >= 2:
+            self.coadd = CoaddSearcher(
+                [st.station_id for st in self.stations],
+                acfg.pipeline, acfg.search)
+            for st in self.stations:
+                st.block_taps.append(self.coadd.tap)
 
     def run_streaming(self, per_ant_seconds: Dict[int, Iterable],
                       od: ObservationDocument,
@@ -257,6 +397,8 @@ class ArrayPipeline:
         observation-bound)."""
         iters = {st.station_id: iter(per_ant_seconds[st.station_id])
                  for st in self.stations}
+        if self.coadd is not None:
+            self.coadd.reset()
         for st in self.stations:
             st.begin_observation(od)
         dumpers = {st.station_id: TriggeredDumper(
@@ -283,17 +425,24 @@ class ArrayPipeline:
                 self._coincide_and_dump(od, triggers, dumps, dumpers, sent)
         products = {st.station_id: st.end_observation()
                     for st in self.stations}
+        if self.coadd is not None:
+            self.coadd.finish()
         self._coincide_and_dump(od, triggers, dumps, dumpers, sent)
-        return {"products": products, "triggers": triggers, "dumps": dumps}
+        return {"products": products, "triggers": triggers, "dumps": dumps,
+                "coadd_candidates": list(self.coadd.cands)
+                if self.coadd else []}
 
     def _coincide_and_dump(self, od, triggers, dumps, dumpers, sent):
         utc0 = min((st._t0_unix or od.start_time for st in self.stations),
                    default=od.start_time)
         per_beam = {st.station_id: list(st._cands) for st in self.stations}
+        if self.coadd is not None:
+            per_beam[COADD_BEAM] = list(self.coadd.cands)
         coincided = trig.coincidence(per_beam, self.acfg.pipeline.tsamp,
                                      delta_dm=self.tcfg.delta_dm,
                                      delta_w=self.tcfg.delta_w)
-        for t in trig.make_triggers(coincided, utc0, self.tcfg):
+        for t in trig.make_triggers(coincided, utc0, self.tcfg,
+                                    coadd_beam=COADD_BEAM):
             key = (round(t.t0, 3), round(t.dm, 2))
             if key in sent:
                 continue
@@ -306,16 +455,21 @@ class ArrayPipeline:
 
     def run_observation(self, per_ant_seconds: Dict[int, Iterable],
                         od: ObservationDocument) -> dict:
+        if self.coadd is not None:
+            self.coadd.reset()
         products = {}
         for st in self.stations:
             products[st.station_id] = st.run_observation(
                 per_ant_seconds[st.station_id], od)
         per_beam = {sid: p.candidates for sid, p in products.items()}
+        if self.coadd is not None:
+            per_beam[COADD_BEAM] = self.coadd.finish()
         coincided = trig.coincidence(per_beam, self.acfg.pipeline.tsamp,
                                      delta_dm=self.tcfg.delta_dm,
                                      delta_w=self.tcfg.delta_w)
         # dump windows are referenced to the observation start time
-        triggers = trig.make_triggers(coincided, od.start_time, self.tcfg)
+        triggers = trig.make_triggers(coincided, od.start_time, self.tcfg,
+                                      coadd_beam=COADD_BEAM)
         dumps = []
         for st in self.stations:
             if st.ring is None:
@@ -328,7 +482,9 @@ class ArrayPipeline:
                 rec = dmp.dump(t)
                 if rec:
                     dumps.append(rec)
-        return {"products": products, "triggers": triggers, "dumps": dumps}
+        return {"products": products, "triggers": triggers, "dumps": dumps,
+                "coadd_candidates": list(self.coadd.cands)
+                if self.coadd else []}
 
     def close(self):
         for st in self.stations:

@@ -30,8 +30,10 @@ def get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < (
-            _CSRC / "ringbuffer.cpp").stat().st_mtime:
+    srcs = [_CSRC / "ringbuffer.cpp", _CSRC / "netcap.cpp"]
+    if not _LIB_PATH.exists() or any(
+            _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
+            if s.exists()):
         _build_lib()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.rb_create.restype = ctypes.c_void_p
@@ -63,6 +65,11 @@ def get_lib() -> ctypes.CDLL:
                                 ctypes.POINTER(ctypes.c_uint64)]
     lib.rb_slot_timestamp.restype = ctypes.c_double
     lib.rb_slot_timestamp.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.udp_drain.restype = ctypes.c_int64
+    lib.udp_drain.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                              ctypes.c_uint64, ctypes.c_uint64,
+                              ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_uint64)]
     lib.rb_set_obs_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.rb_get_obs_header.restype = ctypes.c_uint64
     lib.rb_get_obs_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -108,7 +108,10 @@ class Trigger:
 
     @classmethod
     def unpack(cls, buf: bytes) -> "Trigger":
-        t0, t1, sn, dm, w, pt, meta = struct.unpack(cls._FMT, buf[:168])
+        # slice exactly calcsize bytes so senders whose trigger_t carries
+        # trailing padding still parse (a longer datagram must not raise)
+        n = struct.calcsize(cls._FMT)
+        t0, t1, sn, dm, w, pt, meta = struct.unpack(cls._FMT, buf[:n])
         return cls(t0, t1, sn, dm, w, pt,
                    meta.split(b"\0", 1)[0].decode(errors="replace"))
 
@@ -141,9 +144,12 @@ class TriggerReceiver:
 
     def __init__(self, port: int = 20003, host: str = "0.0.0.0"):
         import socket as _socket
+        from vlite_fast_tpu.utils.log import make_logger
         self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
         self._sock.bind((host, port))
         self._sock.settimeout(0.2)
+        self._log = make_logger("trigrecv")
+        self.parse_errors = 0
 
     def poll(self, max_triggers: int = 20) -> List["Trigger"]:
         import socket as _socket
@@ -157,7 +163,11 @@ class TriggerReceiver:
                 break
             try:
                 out.append(Trigger.unpack(buf))
-            except Exception:
+            except Exception as exc:
+                # a malformed trigger must be visible, not silently lost
+                self.parse_errors += 1
+                self._log.warning("dropped unparseable trigger datagram "
+                                  "(%d bytes): %s", len(buf), exc)
                 continue
         return out
 
@@ -166,25 +176,32 @@ class TriggerReceiver:
 
 
 def make_triggers(coincided: List[BeamCandidate], utc_start: float,
-                  cfg: TriggerConfig = TriggerConfig()) -> List[Trigger]:
+                  cfg: TriggerConfig = TriggerConfig(),
+                  coadd_beam: Optional[int] = None) -> List[Trigger]:
     """Apply the trigger cuts and map candidates to dump windows.
 
     Cuts (ref src/trigger.py:45-65,148): S/N > snr_thresh, >= min_beams
     coincident beams, width < max_width_s, DM > min_dm.  Window mapping
     (ref src/trigger.py:155-173): [i0*tsamp - pre, i0 + width + DM sweep
     + post] relative to utc_start.
+
+    Candidates from `coadd_beam` (the coadded-stream search, the
+    agtriggerhook role ref scripts/start_process:21) already carry the
+    whole array's sensitivity: they skip the min_beams cut and use
+    cfg.coadd_snr_thresh instead.
     """
     out: List[Trigger] = []
     for bc in coincided:
         c = bc.cand
+        is_coadd = coadd_beam is not None and bc.beam == coadd_beam
         nbeam = int((bc.beam_mask > 0).sum())
-        if nbeam < cfg.min_beams:
+        if not is_coadd and nbeam < cfg.min_beams:
             continue
         if bc.width_s >= cfg.max_width_s:
             continue
         if c.dm <= cfg.min_dm:
             continue
-        if c.snr <= cfg.snr_thresh:
+        if c.snr <= (cfg.coadd_snr_thresh if is_coadd else cfg.snr_thresh):
             continue
         dm_delay = c.dm * C.DM_DELAY_PER_DM
         dump_offs = c.i0 * bc.tsamp
