@@ -51,7 +51,11 @@ def main():
 
     dev = jax.devices()[0]
     cfg = PipelineConfig(inject_frb=True)  # reference geometry, rfi_mode 2
-    scfg = SearchConfig()                  # DM 2-1000 x1024, 24 s gulps
+    # linear 1024-trial grid: comparable round-over-round and with the
+    # round-1 baseline.  Production default is the tolerance-driven grid
+    # (dm_grid_mode='tol', ~4.9k trials at dm_tol=1.25 — heimdall
+    # semantics); searching it costs ~4.8x this gulp time, still >>RT.
+    scfg = SearchConfig(dm_grid_mode="linear")  # DM 2-1000 x1024, 24 s
 
     # --- stage inputs on device (see module docstring) -------------------
     rng = np.random.default_rng(0)

@@ -1,0 +1,203 @@
+"""Offline dump-dataset framework + precision delay fitting + loc_step1
+cleaning (VERDICT round-1 item 5).
+
+End-to-end criterion: synthesized 4-antenna dump FILES of a known-geometry
+pulse — with ragged start times and one antenna split across two fragment
+files — go dump-files -> dataset -> phase-slope delays -> TDOA fit and
+recover the injected direction, through the public API only.
+"""
+
+import numpy as np
+import pytest
+
+from vlite_fast_tpu.analysis import baseband as bb
+from vlite_fast_tpu.analysis import localization as loc
+from vlite_fast_tpu.analysis.dataset import (BasebandFragment,
+                                             BasebandFragments,
+                                             load_dataset)
+from vlite_fast_tpu.utils import vdif
+
+RATE = 1_000_000
+FPS = RATE // 5000          # frames/s/pol at the tiny rate
+
+
+def frac_shift(x: np.ndarray, shift_samples: float) -> np.ndarray:
+    """Delay a real 1-D signal by a (fractional) number of samples."""
+    n = x.size
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(n)
+    return np.fft.irfft(X * np.exp(-2j * np.pi * f * shift_samples), n=n)
+
+
+def write_dump(tmp_path, name, samples, station, sec0, frame0):
+    stream = vdif.streams_to_frames(samples, ref_epoch=40,
+                                    start_second=sec0, start_frame=frame0,
+                                    station_id=station, sample_rate=RATE)
+    p = tmp_path / name
+    stream.tofile(p)
+    return str(p)
+
+
+def test_fragment_metadata_ragged_start(tmp_path):
+    rng = np.random.default_rng(0)
+    u = rng.integers(1, 255, (2, 40 * 5000), dtype=np.uint8)
+    path = write_dump(tmp_path, "a.vdif", u, station=3, sec0=9, frame0=17)
+    f = BasebandFragment.from_file(path, sample_rate=RATE)
+    assert f.station_id == 3
+    assert f.nsamp == 40 * 5000
+    base = float(vdif._epoch_unix(40))
+    assert abs(f.start_time - (base + 9 + 17 * 5000 / RATE)) < 1e-9
+    rep = f.continuity()
+    assert rep.clean
+
+
+def test_fragments_gap_fill(tmp_path):
+    rng = np.random.default_rng(1)
+    u = rng.integers(1, 255, (2, 60 * 5000), dtype=np.uint8)
+    # fragment 1: frames 0-19; fragment 2: frames 30-59 (10-frame gap)
+    p1 = write_dump(tmp_path, "f1.vdif", u[:, :20 * 5000], 1, 9, 0)
+    p2 = write_dump(tmp_path, "f2.vdif", u[:, 30 * 5000:], 1, 9, 30)
+    frags = BasebandFragments([BasebandFragment.from_file(p, RATE)
+                               for p in (p1, p2)])
+    assert frags.gap_samples() == [10 * 5000]
+    out = frags.read(9 * RATE, 9 * RATE + 60 * 5000)
+    np.testing.assert_array_equal(out[:, :20 * 5000], u[:, :20 * 5000])
+    assert np.all(out[:, 20 * 5000:30 * 5000] == 0)       # gap zero-filled
+    np.testing.assert_array_equal(out[:, 30 * 5000:], u[:, 30 * 5000:])
+
+
+def test_dataset_aligned_ragged_starts(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 50 * 5000
+    u = rng.integers(1, 255, (2, n + 40 * 5000), dtype=np.uint8)
+    # two stations dumping the SAME stream but cut at different frames
+    write_dump(tmp_path, "a.vdif", u[:, :n], 1, 9, 0)
+    off = 13
+    write_dump(tmp_path, "b.vdif", u[:, off * 5000:off * 5000 + n],
+               2, 9, off)
+    ds = load_dataset(str(tmp_path), sample_rate=RATE)
+    assert ds.station_ids == [1, 2]
+    dumps = ds.aligned()
+    assert dumps[0].start_time == dumps[1].start_time
+    # on the common clock the content must be identical
+    np.testing.assert_array_equal(dumps[0].samples, dumps[1].samples)
+
+
+def test_blocks_iterator_overlap(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 40 * 5000
+    u = rng.integers(1, 255, (2, n), dtype=np.uint8)
+    write_dump(tmp_path, "a.vdif", u, 1, 9, 0)
+    ds = load_dataset(str(tmp_path), sample_rate=RATE)
+    blocks = list(ds.blocks(block_samps=60_000, overlap=10_000))
+    assert len(blocks) == (n - 60_000) // 50_000 + 1
+    for blk in blocks:
+        assert blk[0].nsamp == 60_000
+    # consecutive blocks overlap by exactly 10k samples
+    a_end = blocks[0][0].samples[:, -10_000:]
+    b_start = blocks[1][0].samples[:, :10_000]
+    np.testing.assert_array_equal(a_end, b_start)
+
+
+def test_phase_slope_subsample_delay():
+    """Fractional delays resolved to <0.1 sample (the reference's
+    phase-slope fitting, analysis/baseband.py:723-806)."""
+    rng = np.random.default_rng(4)
+    n = 400_000
+    common = rng.standard_normal(n + 64).astype(np.float64)
+    true = 4.37                      # samples
+    sa = common[:n]
+    sb = frac_shift(common, true)[:n]
+    ua = np.clip(np.stack([sa, sa]) * 30 + 128.5, 0, 255).astype(np.uint8)
+    ub = np.clip(np.stack([sb, sb]) * 30 + 128.5, 0, 255).astype(np.uint8)
+    a = bb.VoltageDump(samples=ua, start_time=0, station_id=1,
+                       sample_rate=RATE)
+    b = bb.VoltageDump(samples=ub, start_time=0, station_id=2,
+                       sample_rate=RATE)
+    tau, coh, snr = bb.baseline_delay_precise(a, b, nfft=500)
+    # convention: baseline_delay(a, b) = tau_a - tau_b; b lags -> negative
+    assert abs(tau * RATE + true) < 0.1
+    assert coh > 0.8
+    assert snr > 10
+
+
+def test_e2e_dumps_to_localization(tmp_path):
+    """The VERDICT item-5 'done' bar, via files on disk."""
+    rng = np.random.default_rng(5)
+    nant, n = 4, 320_000
+    positions = np.array([[0.0, 0.0, 0.0], [2400.0, 0.0, 0.0],
+                          [0.0, 2400.0, 0.0], [900.0, 1700.0, 0.0]])
+    az_true, el_true = 1.1, 0.7
+    s_hat = loc.direction_unit(np.array(az_true), np.array(el_true))
+    tau = positions @ s_hat / loc.C_LIGHT          # arrival offsets [s]
+    margin = 4000
+    extra = 16 * 5000                              # room for ragged cuts
+    common = np.zeros(n + 2 * margin + extra, np.float64)
+    common[rng.integers(margin, n, 60)] = 20.0     # broadband impulses
+    common += 0.3 * rng.standard_normal(common.size)
+    sec0 = 9
+    for k in range(nant):
+        sig = frac_shift(common, tau[k] * RATE)[margin:margin + n + extra]
+        x = np.stack([sig, sig]) + 0.5 * rng.standard_normal(
+            (2, sig.size))
+        u = np.clip(x * 12.8 + 128.5, 0, 255).astype(np.uint8)
+        off = int(rng.integers(0, 15))             # ragged start frames
+        cut = u[:, off * 5000: off * 5000 + n]
+        if k == 2:   # split one antenna across two fragment files
+            h = (cut.shape[1] // 2 // 5000) * 5000
+            write_dump(tmp_path, "c1.vdif", cut[:, :h], k + 1, sec0, off)
+            write_dump(tmp_path, "c2.vdif", cut[:, h:], k + 1, sec0,
+                       off + h // 5000)
+        else:
+            write_dump(tmp_path, f"ant{k}.vdif", cut, k + 1, sec0, off)
+
+    ds = load_dataset(str(tmp_path), sample_rate=RATE)
+    assert len(ds.station_ids) == nant
+    dumps = ds.aligned()
+    pairs = [(i, j) for i in range(nant) for j in range(i + 1, nant)]
+    delays = []
+    for i, j in pairs:
+        d, coh, snr = bb.baseline_delay_precise(dumps[i], dumps[j],
+                                                nfft=500)
+        delays.append(d)
+    fit = loc.fit_tdoa(positions, pairs, np.array(delays),
+                       sigma=0.7 / RATE)
+    assert abs(fit.az - az_true) < 0.1
+    assert abs(fit.el - el_true) < 0.1
+
+
+def test_clean_coherent_dedisperse_beats_raw_chirp():
+    """loc_step1 semantics: with narrowband RFI riding on a dispersed
+    pulse, bandpass flattening + RFI excision BEFORE the inverse chirp
+    must yield a cleaner recovered pulse than the raw chirp."""
+    from vlite_fast_tpu.models import synthesis
+    from vlite_fast_tpu.ops import coherent as coh
+    import jax.numpy as jnp
+    dm, rate = 40.0, RATE
+    s = synthesis.SynthConfig(tobs=0.4, dm=dm, pulse_period=0.1,
+                              skip_period=4, amp=1.2, seed=11,
+                              sample_rate=rate, freq_bot_mhz=320.0,
+                              bandwidth_mhz=0.5, buflen=250_000)
+    samples, _ = synthesis.generate_baseband(s)
+    x = samples.astype(np.float32) / 128.0 - 1.0
+    n = x.shape[1]
+    # inject a strong narrowband RFI tone (MUOS stand-in)
+    t = np.arange(n)
+    x = x + 1.5 * np.sin(2 * np.pi * 0.137 * t)[None, :].astype(np.float32)
+
+    def peak_snr(y):
+        p = y[0] ** 2 + y[1] ** 2
+        prof = p.reshape(-1, 1000).sum(axis=1)
+        med = np.median(prof)
+        mad = np.median(np.abs(prof - med)) + 1e-12
+        return (prof.max() - med) / (1.4826 * mad)
+
+    xs = np.asarray(coh.swap_sideband(jnp.asarray(x)))
+    raw = np.asarray(coh.coherent_dedisperse(
+        jnp.asarray(xs), dm, rate, bandwidth_mhz=0.5, freq_bot_mhz=320.0))
+    cleaned, flags = bb.clean_coherent_dedisperse(
+        xs, dm, rate, bandwidth_mhz=0.5, freq_bot_mhz=320.0,
+        smooth_bins=2001, rfi_sigma=5.0)
+    assert flags.any()                       # the tone was caught
+    assert peak_snr(cleaned) > peak_snr(raw)
+    assert peak_snr(cleaned) > 8.0

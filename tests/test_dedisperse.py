@@ -187,3 +187,74 @@ def test_pallas_zap_channels():
     dmt = np.asarray(ddp.dedisperse_pallas(jnp.asarray(fb), plan,
                                            ntime_out))
     assert dmt.mean() < 10.0
+
+
+def test_fof_one_pulse_one_candidate():
+    """A single dispersed pulse lights a (DM, width, time) blob of
+    crossings that must collapse to exactly ONE candidate."""
+    fb, freqs, _ = make_fb(amp=6.0)
+    dms = dd.dm_grid(0, 300, 61)
+    plan = dd.make_plan(dms, freqs, 2e-3, nsub=16, nbatch=61)
+    ntime_out = fb.shape[0] - plan.max_delay
+    dmt = np.asarray(dd.dedisperse(jnp.asarray(fb), plan, ntime_out))
+    snr = np.asarray(dd.boxcar_snr(jnp.asarray(dmt), plan.nchan_eff,
+                                   widths=(1, 2, 4, 8)))
+    cands = dd.find_candidates(snr, dms, 2e-3, thresh=6.5,
+                               widths=(1, 2, 4, 8))
+    strong = [c for c in cands if c.snr > 6.5]
+    assert len(strong) == 1, [c.to_line() for c in strong]
+    assert strong[0].ngiant > 3          # the blob was linked, not split
+
+
+def test_fof_nearby_pulses_not_merged():
+    """Two pulses ~60 samples apart at the same DM must yield two
+    candidates (round-1's greedy merge glued such neighbors)."""
+    rng = np.random.default_rng(5)
+    ndm, ntime = 32, 800
+    dmt = rng.standard_normal((ndm, ntime)).astype(np.float32) * 4.0
+    for t0 in (300, 360):
+        dmt[10:13, t0:t0 + 4] += 12.0 * 4.0
+    snr = np.asarray(dd.boxcar_snr(jnp.asarray(dmt), 16.0,
+                                   widths=(1, 2, 4, 8)))
+    dms = dd.dm_grid(0, 150, ndm)
+    cands = dd.find_candidates(snr, dms, 2e-3, thresh=7.0,
+                               widths=(1, 2, 4, 8))
+    peaks = sorted(c.peak_idx for c in cands if c.snr > 10)
+    assert len(peaks) == 2, [c.to_line() for c in cands]
+    assert abs(peaks[0] - 303) <= 4 and abs(peaks[1] - 363) <= 4
+
+
+def test_fof_distant_dm_not_merged():
+    """Simultaneous events at well-separated DMs stay separate."""
+    rng = np.random.default_rng(6)
+    ndm, ntime = 64, 400
+    dmt = rng.standard_normal((ndm, ntime)).astype(np.float32) * 4.0
+    dmt[5:8, 200:204] += 12.0 * 4.0
+    dmt[50:53, 200:204] += 12.0 * 4.0
+    snr = np.asarray(dd.boxcar_snr(jnp.asarray(dmt), 16.0,
+                                   widths=(1, 2, 4)))
+    dms = dd.dm_grid(0, 300, ndm)
+    cands = [c for c in dd.find_candidates(snr, dms, 2e-3, thresh=7.0,
+                                           widths=(1, 2, 4)) if c.snr > 10]
+    assert len(cands) == 2
+    assert {c.dmi < 20 for c in cands} == {True, False}
+
+
+def test_tol_grid_default_and_recovery():
+    """Production default: tolerance-driven DM trials (heimdall -dm_tol);
+    a pulse is still recovered at its DM with the adaptive grid."""
+    from vlite_fast_tpu.config import SearchConfig
+    from vlite_fast_tpu.models import search as sm
+    fb, freqs, _ = make_fb(amp=4.0)
+    scfg = SearchConfig(dm_min=0.0, dm_max=300.0, gulp_samps=512,
+                        boxcar_max=8, zap_ranges=(), snr_thresh=6.0)
+    assert scfg.dm_grid_mode == "tol"
+    eng = sm.SinglePulseSearch(scfg, 2e-3, freqs, nsub=16, nbatch=64)
+    assert len(eng.dms) % 128 == 0        # padded for uniform DM batches
+    # the underlying tolerance grid is adaptive: steps grow with DM
+    raw = dd.dm_grid_tol(0.0, 300.0, 2e-3, freqs, tol=1.25)
+    steps = np.diff(raw)
+    assert steps[-1] > steps[0]
+    cands = eng.search_stream(fb.astype(np.float32))
+    best = max(cands, key=lambda c: c.snr)
+    assert abs(best.dm - 150.0) < 20.0

@@ -93,6 +93,64 @@ def filterbank(dump: VoltageDump, nfft: int = C.NFFT,
     return p
 
 
+def _median_smooth(x: np.ndarray, width: int) -> np.ndarray:
+    """Running median (odd width) — the bandpass estimator."""
+    width = width | 1
+    pad = width // 2
+    xp = np.pad(x, pad, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(xp, width)
+    return np.median(win, axis=-1)
+
+
+def clean_coherent_dedisperse(x: np.ndarray, dm: float, sample_rate: int,
+                              bandwidth_mhz: float = C.BANDWIDTH_MHZ,
+                              freq_bot_mhz: float = C.FREQ_BOT_MHZ,
+                              smooth_bins: int = 2001,
+                              rfi_sigma: float = 5.0) -> tuple:
+    """Production coherent dedispersion: flatten the bandpass and excise
+    RFI bins BEFORE applying the inverse dispersion chirp (the loc_step1
+    preprocessing, ref analysis/loc_step1.py:39-160 — on real
+    MUOS-contaminated P-band data a raw chirp smears narrowband RFI across
+    the whole record and the unflattened bandpass distorts the pulse).
+
+    x: (npol, n) float voltages.  Steps per pol:
+      1. full-length real FFT -> PSD;
+      2. bandpass = running median of the PSD (smooth_bins wide);
+      3. flag bins whose PSD exceeds rfi_sigma x bandpass; interpolate the
+         bandpass ACROSS flagged runs from clean neighbors (so whitening
+         never divides by an RFI-inflated level, ref loc_step1.py:74-101);
+      4. whiten the spectrum by 1/sqrt(bandpass), zero flagged bins;
+      5. multiply the coherent-dedispersion phase kernel, inverse FFT.
+
+    Returns (cleaned_dedispersed (npol, n) float32, flag_mask (nbin,)).
+    """
+    from vlite_fast_tpu.ops import coherent as coh
+    x = np.asarray(x, np.float32)
+    npol, n = x.shape
+    X = np.fft.rfft(x, axis=1)
+    psd = np.mean(np.abs(X) ** 2, axis=0)
+    bp = _median_smooth(psd, min(smooth_bins, max(3, psd.size // 4)))
+    flag = psd > rfi_sigma * np.maximum(bp, 1e-30)
+    good = ~flag
+    if flag.any() and good.any():
+        idx = np.arange(psd.size)
+        bp = np.interp(idx, idx[good], bp[good])
+    white = 1.0 / np.sqrt(np.maximum(bp, 1e-30))
+    white[flag] = 0.0
+    # normalize so the mean gain over clean bins is 1 (keeps amplitudes
+    # comparable to the un-whitened path)
+    scale = np.sqrt(np.mean(psd[good])) if good.any() else 1.0
+    Xw = X * (white * scale)[None, :]
+    # inverse chirp on the analytic spectrum: rfft bins k map to sky
+    # frequency freq_bot + k*rate/n (lower-sideband handling matches
+    # ops.coherent via the sideband swap identity used in filterbank())
+    kern = np.asarray(coh.dispersion_kernel(
+        n, dm, bandwidth_mhz=bandwidth_mhz, freq_bot_mhz=freq_bot_mhz,
+        taper=False))
+    out = np.fft.irfft(Xw * np.conj(kern)[None, :], n=n, axis=1)
+    return out.astype(np.float32), flag
+
+
 def polyphase_filterbank(dump: VoltageDump, nfft: int = C.NFFT,
                          ntap: int = 4) -> np.ndarray:
     """WOLA PFB power (ref analysis/baseband.py:1207-1238)."""
@@ -137,6 +195,62 @@ def correlation_matrix(dumps: Sequence[VoltageDump],
             if i != j:
                 out[j, i] = np.conj(out[i, j])
     return out
+
+
+def fit_delay_phase(vis: np.ndarray, sample_rate: int, nfft: int,
+                    coarse_delay: float = 0.0, niter: int = 3
+                    ) -> Tuple[float, float, float]:
+    """Sub-sample baseline delay from the visibility PHASE SLOPE
+    (ref analysis/baseband.py:723-806: the reference fits per-baseline
+    delays by regressing visibility phase against frequency, not by the
+    integer lag-spectrum peak).
+
+    vis: (nchan,) complex visibility spectrum (a x conj(b), channels
+    spanning [0, sample_rate/2) in steps of sample_rate/nfft).
+    Starting from `coarse_delay` (seconds), iterates a weighted linear fit
+    of the residual phase gradient: the per-channel phase difference
+    angle(v[k+1] conj(v[k])) is an unwrap-free local slope estimate,
+    weighted by the channel pair's coherence |v|^2.  Returns
+    (delay_seconds, phase0_radians, coherence) where coherence in [0, 1]
+    is |sum of rotated vis| / sum |vis| — 1.0 for a pure delay.
+
+    Sign convention matches baseline_delay's lag-spectrum peak (so the
+    two stages compose): vis = S_a conj(S_b) carries phase
+    e^{+2 pi i f tau_ba}, and the returned delay is the lag-peak's.
+    """
+    v = np.asarray(vis, np.complex128)
+    nchan = v.size
+    df = sample_rate / nfft                         # Hz per channel
+    f = np.arange(nchan) * df
+    w = np.abs(v) ** 2
+    tau = float(coarse_delay)
+    for _ in range(niter):
+        resid = v * np.exp(2j * np.pi * f * tau)
+        dphi = np.angle(resid[1:] * np.conj(resid[:-1]))
+        ww = np.minimum(w[1:], w[:-1])
+        if ww.sum() == 0:
+            break
+        slope = float(np.sum(ww * dphi) / np.sum(ww))  # rad / channel
+        tau -= slope / (2 * np.pi * df)
+    resid = v * np.exp(2j * np.pi * f * tau)
+    tot = np.sum(resid)
+    coherence = float(np.abs(tot) / (np.sum(np.abs(v)) + 1e-30))
+    return tau, float(np.angle(tot)), coherence
+
+
+def baseline_delay_precise(a: VoltageDump, b: VoltageDump,
+                           nfft: int = 2500,
+                           max_lag: Optional[int] = None
+                           ) -> Tuple[float, float, float]:
+    """Two-stage baseline delay: integer-sample lag peak (baseline_delay)
+    seeds the phase-slope fit for sub-sample resolution
+    (ref analysis/baseband.py:723-806).  Returns
+    (delay_seconds, coherence, lag_snr)."""
+    coarse, snr = baseline_delay(a, b, nfft=nfft, max_lag=max_lag)
+    vis = correlate(a, b, nfft=nfft)[:, 0, :].sum(axis=0)
+    tau, _, coh = fit_delay_phase(vis, a.sample_rate, nfft,
+                                  coarse_delay=coarse)
+    return tau, coh, snr
 
 
 def baseline_delay(a: VoltageDump, b: VoltageDump, nfft: int = 2500,

@@ -47,10 +47,10 @@ class PipelineConfig:
     # thresholds (ref src/process_baseband.h:35-46)
     ema_impl: str = "assoc"        # 'assoc' (log-depth scan) | 'scan'
                                    # (sequential lax.scan) | 'pallas'
-                                   # (one-pass VMEM kernel; NB hits a JAX
-                                   # mlir-lowering bug when nested in the
-                                   # chain's lax.scan on jax 0.9/axon —
-                                   # usable standalone, not chain-default)
+                                   # (one-pass VMEM kernel, run once per
+                                   # second OUTSIDE the segment scan —
+                                   # the Mosaic nested-scan lowering bug
+                                   # workaround; exact parity with 'scan')
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
                                    # | 'pfb' (streaming WOLA polyphase;
                                    # sharper channel response; rfi_mode 0
@@ -59,7 +59,12 @@ class PipelineConfig:
     # NB a bf16 DFT variant was measured SLOWER than f32-highest on the
     # TPU (the chain is HBM-bandwidth-bound, not MXU-bound) and was removed
     dag_thresh: float = C.DAG_THRESH
-    dag_fb_thresh: float = C.DAG_FB_THRESH
+    dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
+                                   # zero-weights whole FFT blocks; the
+                                   # reference computes but comments out
+                                   # this gate, pb_kernels.cu:255-256)
+    do_histo: bool = False         # DOHISTO raw-sample histograms
+                                   # (ref pb_kernels.cu:321-336)
     min_weight: float = C.MIN_WEIGHT
     bp_tsmooth: float = C.BP_TSMOOTH
     freq_top_mhz: float = C.FREQ_TOP_MHZ
@@ -164,7 +169,13 @@ class SearchConfig:
 
     dm_min: float = 2.0
     dm_max: float = 1000.0
-    ndm: int = 1024
+    ndm: int = 1024                # trial count for dm_grid_mode='linear'
+    dm_grid_mode: str = "tol"      # 'tol': tolerance-driven trial placement
+                                   # (heimdall/dedisp -dm_tol semantics,
+                                   # scripts/start_heimdall_single_antenna
+                                   # :21) — the production default; trial
+                                   # count follows dm_tol.  'linear': ndm
+                                   # fixed trials (tests/benchmarks).
     dm_tol: float = 1.25           # S/N loss tolerance setting the DM grid
     gulp_samps: int = 30720        # samples per search gulp (24 s)
     boxcar_max: int = 64           # max matched-filter width (power-of-2 set)
@@ -187,7 +198,8 @@ class SearchConfig:
     @classmethod
     def tiny(cls, **overrides) -> "SearchConfig":
         kw = dict(dm_min=0.0, dm_max=100.0, ndm=64, gulp_samps=512,
-                  boxcar_max=16, zap_ranges=(), max_candidates=256)
+                  boxcar_max=16, zap_ranges=(), max_candidates=256,
+                  dm_grid_mode="linear")
         kw.update(overrides)
         return cls(**kw)
 

@@ -60,6 +60,8 @@ class SegmentOutput(NamedTuple):
     packed_kur: jax.Array   # (out_samps, nbytes) kur stream ('' if mode 0)
     weights: jax.Array      # (npol, ffts_per_seg) kurtosis weights
     dag_frac: jax.Array     # scalar: fraction of fine windows flagged
+    histo: jax.Array = None  # (npol, 256) raw-sample histogram (DOHISTO,
+                             # ref pb_kernels.cu:321-336) when cfg.do_histo
 
 
 def init_state(cfg: PipelineConfig) -> DSPState:
@@ -94,7 +96,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
     x_kur = x
     if cfg.rfi_mode > 0:
         res = kur_ops.rfi_excise(x, cfg.nkurto, cfg.nfft,
-                                 dag_thresh=cfg.dag_thresh)
+                                 dag_thresh=cfg.dag_thresh,
+                                 dag_fb_thresh=cfg.dag_fb_thresh)
         x_kur, weights = res.masked, res.weights
         dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
 
@@ -179,34 +182,151 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
     return SegmentOutput(packed, packed_kur, weights, dag_frac), new_state
 
 
+def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
+                   state: DSPState):
+    """Front half of the chain for the whole second: scan the segments
+    through unpack -> kurtosis -> channelize -> inject -> detect, stacking
+    full-second detected powers.  No EMA inside the scan — that lets the
+    one-pass Pallas EMA run once per second OUTSIDE lax.scan (the Mosaic
+    nested-scan lowering bug workaround, see ops/pallas_kernels.py)."""
+    segs = raw_second.reshape(cfg.npol_in, cfg.seg_per_sec,
+                              cfg.seg_samps).swapaxes(0, 1)
+    delays = _frb_delay_array(cfg) if cfg.inject_frb else None
+    width = cfg.inject_width_s * cfg.seg_per_sec * cfg.ffts_per_seg
+
+    def step(carry, seg):
+        since, tail = carry
+        x = unpack_ops.convert_uint8(seg)
+        weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
+        dag_frac = jnp.float32(0.0)
+        x_kur = x
+        if cfg.rfi_mode > 0:
+            res = kur_ops.rfi_excise(x, cfg.nkurto, cfg.nfft,
+                                     dag_thresh=cfg.dag_thresh,
+                                     dag_fb_thresh=cfg.dag_fb_thresh)
+            x_kur, weights = res.masked, res.weights
+            dag_frac = jnp.mean((res.dag >= cfg.dag_thresh)
+                                .astype(jnp.float32))
+        new_tail = tail
+        if cfg.channelizer == "pfb":
+            def spectra(v):
+                v_ext = jnp.concatenate([tail, v], axis=1)
+                return ch_ops.polyphase_channelize(
+                    v_ext, cfg.nfft, cfg.pfb_ntap, method="matmul")
+            new_tail = x[:, -(cfg.pfb_ntap - 1) * cfg.nfft:]
+        else:
+            def spectra(v):
+                return ch_ops.channelize(v, cfg.nfft,
+                                         method=cfg.channelizer)
+
+        def maybe_inject(spec):
+            if not cfg.inject_frb:
+                return spec
+            injected = inj_ops.inject_frb(
+                spec, delays, since * cfg.ffts_per_seg, width,
+                cfg.inject_amp)
+            return jnp.where(since >= 0, injected, spec)
+
+        p_plain = norm_ops.detect(maybe_inject(spectra(x))) \
+            if cfg.rfi_mode != 1 else jnp.zeros(
+                (cfg.npol_in, 0, cfg.nchan), jnp.float32)
+        p_kur = norm_ops.detect(maybe_inject(spectra(x_kur))) \
+            if cfg.rfi_mode != 0 else jnp.zeros(
+                (cfg.npol_in, 0, cfg.nchan), jnp.float32)
+        since2 = jnp.where(since >= 0, since + 1, since)
+        return (since2, new_tail), (p_plain, p_kur, weights, dag_frac)
+
+    (since, tail), (pp, pk, w, df) = jax.lax.scan(
+        step, (state.segs_since_inject, state.tail), segs)
+    # (nseg, npol, ffts, nchan) -> (npol, nseg*ffts, nchan)
+    fold = lambda a: jnp.swapaxes(a, 0, 1).reshape(
+        cfg.npol_in, -1, cfg.nchan) if a.shape[-2] else a.reshape(
+        cfg.npol_in, 0, cfg.nchan)
+    weights = jnp.swapaxes(w, 0, 1).reshape(cfg.npol_in, -1)
+    return fold(pp), fold(pk), weights, jnp.mean(df), since, tail
+
+
+def _finish_stream(cfg: PipelineConfig, out: jax.Array,
+                   weights: jax.Array | None) -> jax.Array:
+    """Back half of the chain: pscrunch -> tscrunch -> trim+quantize."""
+    if weights is None:
+        if cfg.npol_out == 1 and cfg.npol_in == 2:
+            out = norm_ops.pscrunch(out)
+        out = norm_ops.tscrunch(out, cfg.nscrunch)
+    else:
+        w = weights
+        if cfg.npol_out == 1 and cfg.npol_in == 2:
+            out, w = norm_ops.pscrunch_weights(out, w, cfg.min_weight)
+        out = norm_ops.tscrunch_weights(out, w, cfg.nscrunch,
+                                        cfg.min_weight)
+    return q_ops.sel_and_dig(out, cfg.chanmin, cfg.chanmax, cfg.nbit)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def process_second(cfg: PipelineConfig, raw_second: jax.Array,
                    state: DSPState, arm_inject: jax.Array
                    ) -> tuple[SegmentOutput, DSPState]:
-    """One second = scan of process_segment over seg_per_sec chunks.
+    """One second through the full chain.
 
     raw_second: (npol_in, sample_rate) uint8.  arm_inject: bool scalar —
     start an FRB at the top of this second (ref process_baseband.cu:1098:
     armed when current_sec % 60 == 0).
     Outputs are concatenated over segments (time-major).
+
+    ema_impl 'scan'/'assoc': lax.scan of process_segment (EMA fused per
+    segment).  'pallas': segments are scanned through the front half only
+    and the one-pass VMEM EMA runs once over the whole second's power
+    block (identical results to 'scan' — the per-time-tile seeding matches
+    the per-segment call sequence).
     """
-    segs = raw_second.reshape(cfg.npol_in, cfg.seg_per_sec,
-                              cfg.seg_samps).swapaxes(0, 1)
+    if cfg.ema_impl != "pallas":
+        segs = raw_second.reshape(cfg.npol_in, cfg.seg_per_sec,
+                                  cfg.seg_samps).swapaxes(0, 1)
+        state = state._replace(segs_since_inject=jnp.where(
+            arm_inject, jnp.int32(0), state.segs_since_inject))
+
+        def step(st, seg):
+            out, st2 = process_segment(cfg, seg, st)
+            return st2, out
+
+        state, outs = jax.lax.scan(step, state, segs)
+        merge = lambda a: a.reshape((-1,) + a.shape[2:])
+        histo = kur_ops.sample_histogram(raw_second) if cfg.do_histo \
+            else jnp.zeros((cfg.npol_in, 0), jnp.int32)
+        return SegmentOutput(
+            packed=merge(outs.packed),
+            packed_kur=merge(outs.packed_kur),
+            weights=jnp.swapaxes(outs.weights, 0, 1).reshape(
+                cfg.npol_in, -1),
+            dag_frac=jnp.mean(outs.dag_frac),
+            histo=histo,
+        ), state
+
+    from vlite_fast_tpu.ops import pallas_kernels as pk
     state = state._replace(segs_since_inject=jnp.where(
         arm_inject, jnp.int32(0), state.segs_since_inject))
-
-    def step(st, seg):
-        out, st2 = process_segment(cfg, seg, st)
-        return st2, out
-
-    state, outs = jax.lax.scan(step, state, segs)
-    merge = lambda a: a.reshape((-1,) + a.shape[2:])
-    return SegmentOutput(
-        packed=merge(outs.packed),
-        packed_kur=merge(outs.packed_kur),
-        weights=jnp.swapaxes(outs.weights, 0, 1).reshape(cfg.npol_in, -1),
-        dag_frac=jnp.mean(outs.dag_frac),
-    ), state
+    pp, pkur, weights, dag_frac, since, tail = _second_powers(
+        cfg, raw_second, state)
+    tt = cfg.ffts_per_seg   # tile = one segment: per-segment seed parity
+    bp, bp_kur = state.bp, state.bp_kur
+    nbytes = cfg.npol_out * cfg.nchanout * cfg.nbit // 8
+    nsamps = cfg.seg_per_sec * cfg.out_samps_per_seg
+    empty = jnp.zeros((nsamps, nbytes), jnp.uint8)
+    packed = packed_kur = empty
+    if cfg.rfi_mode != 1:
+        out, bp = pk.normalize_ema_pallas(pp, bp, cfg.bp_scale,
+                                          time_tile=tt)
+        packed = _finish_stream(cfg, out, None)
+    if cfg.rfi_mode != 0:
+        out, bp_kur = pk.normalize_ema_weighted_pallas(
+            pkur, weights, bp_kur, cfg.bp_scale, time_tile=tt)
+        packed_kur = _finish_stream(cfg, out, weights)
+    new_state = DSPState(bp=bp, bp_kur=bp_kur, segs_since_inject=since,
+                         tail=tail)
+    histo = kur_ops.sample_histogram(raw_second) if cfg.do_histo \
+        else jnp.zeros((cfg.npol_in, 0), jnp.int32)
+    return SegmentOutput(packed, packed_kur, weights, dag_frac,
+                         histo), new_state
 
 
 def reference_chain_numpy(cfg: PipelineConfig, raw: np.ndarray,

@@ -9,13 +9,38 @@ scripts/start_heimdall_single_antenna:21 (-nsamps_gulp 30720 -dm 2 1000
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vlite_fast_tpu.config import SearchConfig
 from vlite_fast_tpu.ops import dedisperse as dd
+from vlite_fast_tpu.ops import quantize as q_ops
+
+
+def make_dm_grid(scfg: SearchConfig, tsamp: float,
+                 freqs_mhz: np.ndarray) -> np.ndarray:
+    """DM trial placement per config.
+
+    'tol' (production default): the dedisp/heimdall -dm_tol scheme — step
+    sized so a half-step DM error costs at most `dm_tol` in S/N
+    (ops/dedisperse.dm_grid_tol); trial count follows the tolerance.  The
+    grid is padded (extending past dm_max by the final step) to a multiple
+    of 128 so the subband engines keep uniform DM batches.
+    'linear': scfg.ndm evenly spaced trials.
+    """
+    if scfg.dm_grid_mode != "tol":
+        return dd.dm_grid(scfg.dm_min, scfg.dm_max, scfg.ndm)
+    dms = dd.dm_grid_tol(scfg.dm_min, scfg.dm_max, tsamp,
+                         np.asarray(freqs_mhz), tol=scfg.dm_tol)
+    pad = (-len(dms)) % 128
+    if pad and len(dms) >= 2:
+        step = dms[-1] - dms[-2]
+        dms = np.concatenate([dms, dms[-1] + step * np.arange(1, pad + 1)])
+    return dms
 
 
 def resolve_engine(engine: str) -> str:
@@ -37,6 +62,29 @@ def boxcar_widths(boxcar_max: int) -> tuple:
     return tuple(out)
 
 
+@partial(jax.jit, static_argnames=("engine", "widths", "k", "nbit",
+                                   "nchan"))
+def _device_gulp(fb, plan, *, engine: str, widths: tuple, k: int,
+                 nbit: int, nchan: int):
+    """One fused device program per gulp: [dequantize ->] dedisperse ->
+    boxcar S/N -> top-k crossings.  Cached across gulps (all arguments
+    that vary are traced; geometry is static)."""
+    if nbit:
+        fb = q_ops.dequantize(fb, nbit)
+        fb = fb.reshape(fb.shape[0], -1)[:, :nchan]
+    fb = fb.astype(jnp.float32)
+    ntime_out = fb.shape[0] - plan.max_delay
+    if engine == "pallas":
+        from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+        dmt = ddp.dedisperse_pallas(fb, plan, ntime_out)
+    elif engine == "fourier":
+        dmt = dd.dedisperse_fourier(fb, plan, ntime_out)
+    else:
+        dmt = dd.dedisperse(fb, plan, ntime_out)
+    snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
+    return jax.lax.top_k(snr.reshape(-1), k)
+
+
 class SinglePulseSearch:
     """One beam's search engine.  Stateless across gulps except the plan."""
 
@@ -45,7 +93,7 @@ class SinglePulseSearch:
         self.scfg = scfg
         self.tsamp = float(tsamp)
         self.freqs_mhz = np.asarray(freqs_mhz)
-        self.dms = dd.dm_grid(scfg.dm_min, scfg.dm_max, scfg.ndm)
+        self.dms = make_dm_grid(scfg, self.tsamp, self.freqs_mhz)
         self.widths = boxcar_widths(scfg.boxcar_max)
         self.plan = dd.make_plan(self.dms, self.freqs_mhz, self.tsamp,
                                  nsub=nsub or scfg.nsub,
@@ -58,19 +106,52 @@ class SinglePulseSearch:
         delay across the band — heimdall's gulp overlap)."""
         return self.plan.max_delay
 
+    def _dedisperse(self, fb: jnp.ndarray, ntime_out: int) -> jnp.ndarray:
+        engine = resolve_engine(self.scfg.engine)
+        if engine == "pallas":
+            from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+            return ddp.dedisperse_pallas(fb, self.plan, ntime_out)
+        if engine == "fourier":
+            return dd.dedisperse_fourier(fb, self.plan, ntime_out)
+        return dd.dedisperse(fb, self.plan, ntime_out)
+
     def snr_cube(self, fb_block: np.ndarray) -> jnp.ndarray:
         """(gulp+overlap, nchan) float32 -> (nwidth, ndm, gulp) S/N."""
         fb = jnp.asarray(fb_block, dtype=jnp.float32)
         ntime_out = fb.shape[0] - self.plan.max_delay
-        engine = resolve_engine(self.scfg.engine)
-        if engine == "pallas":
-            from vlite_fast_tpu.ops import dedisperse_pallas as ddp
-            dmt = ddp.dedisperse_pallas(fb, self.plan, ntime_out)
-        elif engine == "fourier":
-            dmt = dd.dedisperse_fourier(fb, self.plan, ntime_out)
-        else:
-            dmt = dd.dedisperse(fb, self.plan, ntime_out)
+        dmt = self._dedisperse(fb, ntime_out)
         return dd.boxcar_snr(dmt, self.plan.nchan_eff, self.widths)
+
+    def _top_crossings(self, fb_dev, nbit: int = 0):
+        """Device-side gulp search: dedisperse + boxcar S/N + top-k of the
+        flattened cube.  Only ~20k (value, index) pairs ever leave the
+        device — the full S/N cube at production geometry is ~0.9 GB and
+        must never cross PCIe (or the dev tunnel) per gulp.
+
+        fb_dev is (full, nchan) float32, or packed uint8 rows when
+        nbit > 0 (dequantized on device — 16x less transfer at 2 bit).
+        """
+        k = min(16 * self.scfg.max_candidates, 20000)
+        vals, idx = _device_gulp(
+            fb_dev, self.plan, engine=resolve_engine(self.scfg.engine),
+            widths=self.widths, k=k, nbit=nbit, nchan=len(self.freqs_mhz))
+        ntime_out = (fb_dev.shape[0] - self.plan.max_delay)
+        return vals, idx, (len(self.widths), len(self.dms), ntime_out)
+
+    def _cands_from_crossings(self, vals, idx, shape, t_offset, nvalid
+                              ) -> List[dd.Candidate]:
+        vals = np.asarray(vals)
+        idx = np.asarray(idx).astype(np.int64)
+        nw, ndm, ntime = [int(s) for s in shape]
+        keep = vals > self.scfg.snr_thresh
+        vals, idx = vals[keep], idx[keep]
+        hits = np.stack([idx // (ndm * ntime), (idx // ntime) % ndm,
+                         idx % ntime], axis=1)
+        cands = dd.cluster_hits(
+            hits, vals, self.dms, self.tsamp, widths=self.widths,
+            t_offset=t_offset, max_cands=self.scfg.max_candidates)
+        limit = t_offset + nvalid      # drop anything inside the padding
+        return [c for c in cands if c.peak_idx < limit]
 
     def search_gulp(self, fb_block: np.ndarray,
                     t_offset: int = 0) -> List[dd.Candidate]:
@@ -84,14 +165,30 @@ class SinglePulseSearch:
             pad = np.zeros((full - fb_block.shape[0], fb_block.shape[1]),
                            fb_block.dtype)
             fb_block = np.concatenate([fb_block, pad], axis=0)
-        snr = np.asarray(self.snr_cube(fb_block))
-        cands = dd.find_candidates(
-            snr, self.dms, self.tsamp, thresh=self.scfg.snr_thresh,
-            widths=self.widths, t_offset=t_offset,
-            max_cands=self.scfg.max_candidates)
-        # drop anything detected inside the zero padding
-        limit = t_offset + nvalid
-        return [c for c in cands if c.peak_idx < limit]
+        vals, idx, shape = self._top_crossings(
+            jnp.asarray(fb_block, dtype=jnp.float32))
+        return self._cands_from_crossings(vals, idx, shape, t_offset,
+                                          nvalid)
+
+    def search_gulp_packed(self, packed_block: np.ndarray, nbit: int,
+                           t_offset: int = 0) -> List[dd.Candidate]:
+        """Search one gulp from PACKED filterbank rows (time, nbytes):
+        the bytes ship to the device as-is and are dequantized in-graph —
+        at 2 bit that is 16x less host->device traffic than unpacked
+        float32 (the difference between ~1 s and ~15 s per gulp on the
+        tunneled dev TPU, and a real PCIe saving in production)."""
+        full = self.scfg.gulp_samps + self.overlap
+        nvalid = packed_block.shape[0] - self.overlap
+        if packed_block.shape[0] < full:
+            # pad with the quantizer's near-zero level in every slot
+            fill = {2: 0x55, 4: 0x77, 8: 0x7F}[nbit]
+            pad = np.full((full - packed_block.shape[0],
+                           packed_block.shape[1]), fill, np.uint8)
+            packed_block = np.concatenate([packed_block, pad], axis=0)
+        vals, idx, shape = self._top_crossings(jnp.asarray(packed_block),
+                                               nbit=nbit)
+        return self._cands_from_crossings(vals, idx, shape, t_offset,
+                                          nvalid)
 
     def search_stream(self, fb: np.ndarray) -> List[dd.Candidate]:
         """Search a long (ntime, nchan) filterbank in overlapping gulps."""
@@ -114,12 +211,23 @@ def filterbank_from_packed(packed: np.ndarray, nbit: int,
     """Unpack a quantized filterbank block (time, bytes) -> (time, chan)
     float, recentered so noise is ~zero-mean (undo quantizer offsets).
 
+    Pure numpy — a host-side reader must not bounce bytes through the
+    accelerator (the in-graph inverse for device-side search is
+    ops.quantize.dequantize, used by search_gulp_packed).
+
     The 2-bit mapping uses the expectations of the chi^2_16-optimized
     levels; for search purposes a linear re-map of level -> value suffices
     (same as heimdall reading 2-bit sigproc data).
     """
-    from vlite_fast_tpu.ops.quantize import unpack_bits
-    lev = np.asarray(unpack_bits(jnp.asarray(packed), nbit)).astype(np.float32)
+    packed = np.asarray(packed, dtype=np.uint8)
+    if nbit == 8:
+        lev = packed
+    else:
+        per_byte = 8 // nbit
+        shifts = np.arange(per_byte, dtype=np.uint8) * nbit
+        mask = np.uint8((1 << nbit) - 1)
+        lev = ((packed[..., None] >> shifts) & mask).reshape(
+            packed.shape[0], -1)
     lev = lev.reshape(packed.shape[0], -1)[:, :nchanout]
     if nbit == 2:
         # approximate inverse of the 2-bit thresholds: level centroids of a
@@ -127,5 +235,5 @@ def filterbank_from_packed(packed: np.ndarray, nbit: int,
         centroids = np.array([-1.24, -0.098, 0.85, 1.94], np.float32)
         return centroids[lev.astype(np.int32)]
     if nbit == 4:
-        return (lev - 7.5) * np.float32(0.3188)
-    return (lev - 127.5) * np.float32(0.02957)
+        return (lev.astype(np.float32) - 7.5) * np.float32(0.3188)
+    return (lev.astype(np.float32) - 127.5) * np.float32(0.02957)

@@ -124,9 +124,33 @@ def generate_baseband(cfg: SynthConfig) -> tuple[np.ndarray, dict]:
     # peaks at multiples of period (sample counter starts at 0 = first
     # emitted sample + n_lo high-band smearing offset)
     pulses = [p for p in range(0, end_sample, period * cfg.skip_period)]
+    moments = measure_moments(samples)
     info = dict(n_dm_samp=n_dm, n_lo=n_lo, n_hi=n_hi, period=period,
-                pulse_samples=pulses, tsamp=tsamp)
+                pulse_samples=pulses, tsamp=tsamp, moments=moments)
     return samples, info
+
+
+def measure_moments(samples: np.ndarray, warn_tol: float = 0.05) -> dict:
+    """Runtime statistical self-check of generated baseband (the
+    measure_moments role, ref src/genbase.cu:405-420,600-649): the
+    digitized stream must look like the intended 8-bit Gaussian —
+    mean ~128.5 counts, std ~ the digitizer sigma (1/(2*0.02957) counts).
+    Logs a warning when either moment is off by more than warn_tol
+    relative (a wrong chirp/profile/digitizer shows up here first)."""
+    x = samples.astype(np.float64)
+    mean = float(x.mean())
+    std = float(x.std())
+    expect_mean = 128.5
+    expect_std = 1.0 / (2 * 0.02957)
+    ok = (abs(mean - expect_mean) / expect_mean <= warn_tol
+          and abs(std - expect_std) / expect_std <= warn_tol)
+    if not ok:
+        import logging
+        logging.getLogger("vfast.synth").warning(
+            "generated baseband moments off: mean %.2f (expect %.2f), "
+            "std %.2f (expect %.2f)", mean, expect_mean, std, expect_std)
+    return dict(mean=mean, std=std, expect_mean=expect_mean,
+                expect_std=expect_std, ok=ok)
 
 
 def generate_vdif(cfg: SynthConfig, ref_epoch: int = 40,

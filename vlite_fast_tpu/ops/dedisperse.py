@@ -371,53 +371,123 @@ class Candidate(NamedTuple):
                    int(f[4]), float(f[5]), int(f[6]), int(f[7]), int(f[8]))
 
 
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        root = i
+        while p[root] != root:
+            root = p[root]
+        while p[i] != root:          # path compression
+            p[i], i = root, p[i]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
 def find_candidates(snr: np.ndarray, dms: np.ndarray, tsamp: float,
                     thresh: float = 6.0,
                     widths: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
                     t_offset: int = 0,
-                    max_cands: int = 4096) -> list:
-    """Threshold + greedy cluster the (nwidth, ndm, ntime) S/N cube.
-
-    Crossings are merged when they overlap in time (same event seen at
-    neighboring DM/width trials), keeping the peak.  Mirrors the role of
-    heimdall's giant-finding/clustering stage.
+                    max_cands: int = 4096,
+                    dm_link: int = 4,
+                    time_gap: int = 2) -> list:
+    """Threshold + friends-of-friends cluster the (nwidth, ndm, ntime)
+    S/N cube (heimdall's giant-finding/clustering stage).
     """
     snr = np.asarray(snr)
-    nw, ndm, ntime = snr.shape
     hits = np.argwhere(snr > thresh)
     if hits.size == 0:
         return []
     vals = snr[hits[:, 0], hits[:, 1], hits[:, 2]]
-    order = np.argsort(-vals)
-    hits, vals = hits[order], vals[order]
-    # hard cap on the greedy pass: an RFI storm can produce millions of
-    # crossings, and the merge loop is O(hits * cands) host-side; keeping
-    # the strongest crossings preserves every real event's peak
+    # cap: an RFI storm can produce millions of crossings; keep the
+    # strongest (preserves every real event's peak and its neighborhood)
     cap = min(16 * max_cands, 20000)
     if len(vals) > cap:
-        hits, vals = hits[:cap], vals[:cap]
+        keep = np.argsort(-vals)[:cap]
+        hits, vals = hits[keep], vals[keep]
+    return cluster_hits(hits, vals, dms, tsamp, widths=widths,
+                        t_offset=t_offset, max_cands=max_cands,
+                        dm_link=dm_link, time_gap=time_gap)
+
+
+def cluster_hits(hits: np.ndarray, vals: np.ndarray, dms: np.ndarray,
+                 tsamp: float,
+                 widths: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+                 t_offset: int = 0,
+                 max_cands: int = 4096,
+                 dm_link: int = 4,
+                 time_gap: int = 2) -> list:
+    """Friends-of-friends clustering of threshold crossings.
+
+    hits: (n, 3) [width_idx, dm_idx, t_end] crossings (e.g. from a
+    device-side top-k — the search ships ~20k crossings off-device, never
+    the full S/N cube); vals: their S/N.
+
+    Two crossings are friends when their boxcar time intervals overlap
+    (allowing a `time_gap`-sample slack) AND their DM trials are within
+    `dm_link` of each other; clusters are the transitive closure (a real
+    pulse lights a contiguous (DM, width, time) blob, which chains into
+    ONE cluster, while pulses separated in time or DM stay distinct —
+    unlike round-1's greedy merge whose wide DM window glued neighbors).
+    Each cluster yields one Candidate at its S/N peak; ngiant = cluster
+    size, i0/i1 = cluster envelope.
+    """
+    hits = np.asarray(hits)
+    vals = np.asarray(vals)
+    if hits.size == 0:
+        return []
+    n = len(vals)
+    w_arr = np.asarray(widths)[hits[:, 0]]
+    lo = hits[:, 2] - w_arr + 1                    # interval [lo, hi)
+    hi = hits[:, 2] + 1
+    dmi = hits[:, 1]
+
+    # neighbor search bucketed by DM band: a hit links only within its
+    # own and adjacent dm_link-wide bands, so the quadratic pass stays
+    # local even in storms
+    uf = _UnionFind(n)
+    order = np.argsort(lo, kind="stable")
+    band_of = dmi // max(dm_link, 1)
+    buckets: dict = {}
+    for idx in order:
+        buckets.setdefault(int(band_of[idx]), []).append(int(idx))
+    for band, members in buckets.items():
+        for nb in (band, band + 1):
+            other = buckets.get(nb)
+            if other is None:
+                continue
+            j0 = 0
+            for i in members:
+                # advance past intervals that end before ours starts
+                while j0 < len(other) and hi[other[j0]] + time_gap <= lo[i]:
+                    j0 += 1
+                for j in other[j0:]:
+                    if lo[j] >= hi[i] + time_gap:
+                        break
+                    if j == i:
+                        continue
+                    if abs(int(dmi[i]) - int(dmi[j])) <= dm_link:
+                        uf.union(i, j)
+
+    clusters: dict = {}
+    for i in range(n):
+        clusters.setdefault(uf.find(i), []).append(i)
     cands: list[Candidate] = []
-    # interval bookkeeping per accepted candidate
-    spans: list[list] = []
-    for (iw, idm, it), v in zip(hits, vals):
-        w_ = widths[iw]
-        lo, hi = it - w_ + 1, it + 1
-        merged = False
-        for k, (slo, shi, sdm) in enumerate(spans):
-            if lo < shi and slo < hi and abs(int(sdm) - int(idm)) * 4 <= ndm:
-                spans[k][0] = min(slo, lo)
-                spans[k][1] = max(shi, hi)
-                c = cands[k]
-                cands[k] = c._replace(ngiant=c.ngiant + 1,
-                                      i0=min(c.i0, lo + t_offset),
-                                      i1=max(c.i1, hi + t_offset))
-                merged = True
-                break
-        if not merged and len(cands) < max_cands:
-            cands.append(Candidate(
-                snr=float(v), peak_idx=int(it) + t_offset,
-                peak_time=(int(it) + t_offset) * tsamp,
-                tfilt=int(np.log2(w_)), dmi=int(idm), dm=float(dms[idm]),
-                ngiant=1, i0=int(lo) + t_offset, i1=int(hi) + t_offset))
-            spans.append([lo, hi, idm])
-    return cands
+    for members in clusters.values():
+        m = np.asarray(members)
+        k = m[np.argmax(vals[m])]
+        iw, idm, it = hits[k]
+        cands.append(Candidate(
+            snr=float(vals[k]), peak_idx=int(it) + t_offset,
+            peak_time=(int(it) + t_offset) * tsamp,
+            tfilt=int(np.log2(widths[iw])), dmi=int(idm),
+            dm=float(dms[idm]), ngiant=len(members),
+            i0=int(lo[m].min()) + t_offset, i1=int(hi[m].max()) + t_offset))
+    cands.sort(key=lambda c: -c.snr)
+    return cands[:max_cands]

@@ -152,13 +152,21 @@ def sample_histogram(u: jax.Array, nbins: int = 256) -> jax.Array:
     return jax.vmap(one)(u)
 
 
-@partial(jax.jit, static_argnames=("nkurto", "nfft", "fake"))
+@partial(jax.jit, static_argnames=("nkurto", "nfft", "fake",
+                                   "dag_fb_thresh"))
 def rfi_excise(x: jax.Array, nkurto: int, nfft: int,
                dag_thresh: float = C.DAG_THRESH,
-               fake: bool = False) -> KurtosisResult:
+               fake: bool = False,
+               dag_fb_thresh: float = 0.0) -> KurtosisResult:
     """Full RFI stage: fine stats -> TS -> block stats -> mask + weights.
 
     Mirrors the launch sequence at src/process_baseband.cu:1160-1216.
+
+    dag_fb_thresh > 0 additionally zero-weights WHOLE FFT blocks whose
+    block-scale D'Agostino TS exceeds it (the compute_dagostino2 gate the
+    reference computes but leaves commented out, pb_kernels.cu:255-256;
+    here it is a live, tested knob — broadband bursty RFI that evades the
+    3.9 us fine windows still pulls the 12500-sample block TS).
     """
     pow_w, kur_w = window_stats(x, nkurto)
     dag = dagostino_ts(kur_w, nkurto)
@@ -166,4 +174,11 @@ def rfi_excise(x: jax.Array, nkurto: int, nfft: int,
     pow_b, kur_b = block_stats(pow_w, kur_w, dag, wpf, dag_thresh)
     dag_fb = dagostino_ts(kur_b, nfft)
     masked, weights = apply_mask(x, dag, nkurto, nfft, dag_thresh, fake)
+    if dag_fb_thresh > 0 and not fake:
+        keep = (dag_fb < dag_fb_thresh).astype(masked.dtype)   # (nblk,)
+        weights = weights * keep[None, :]
+        npol, nsamp = masked.shape
+        nblk = keep.shape[0]
+        masked = (masked.reshape(npol, nblk, nsamp // nblk)
+                  * keep[None, :, None]).reshape(npol, nsamp)
     return KurtosisResult(masked, weights, dag, dag_fb, pow_w, kur_w)

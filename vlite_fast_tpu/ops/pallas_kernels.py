@@ -8,6 +8,16 @@ traffic).  A Pallas kernel does it in ONE pass: the bandpass vector lives
 in VMEM, the time loop runs inside the kernel, and each power row is read
 and each output row written exactly once.
 
+Round-2 note: a JAX/Mosaic lowering bug rejects these kernels when nested
+inside the chain's per-segment lax.scan (minimal repro in PARITY.md), so
+the chain calls them ONCE PER SECOND on the full (npol, nspec, nchan)
+power block instead (models/baseband_dsp.process_second, ema_impl
+'pallas').  The kernels tile time in `time_tile`-row blocks with the
+bandpass carried across tiles in scratch; with time_tile = ffts_per_seg
+the seeding/stale semantics per tile are IDENTICAL to the per-segment
+call sequence of the reference (pb_kernels.cu:406-411 seeds from the
+first block), so results match the 'scan' implementation exactly.
+
 Kernels run in interpret mode automatically on non-TPU backends so the
 same code path is CPU-testable (guide: pallas_guide.md "Debugging").
 """
@@ -19,21 +29,25 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, *, scale: float):
-    """One (pol, channel-tile) cell: seed + sequential EMA over time.
+def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, bp_scr, *,
+                scale: float, ntt: int):
+    """One (pol, channel-tile, time-tile) cell: seed + sequential EMA.
 
-    pow_ref: (1, T, CT) power block; bp_ref/bp_out_ref: (1, CT) carry;
-    out_ref: (1, T, CT) normalized output.
+    pow_ref: (1, TT, CT) power block; bp_ref: (1, CT) carry-in (used at
+    time-tile 0); bp_scr: (1, CT) VMEM scratch carrying the bandpass
+    across time tiles; out_ref: (1, TT, CT); bp_out_ref: (1, CT) final.
     """
-    T = pow_ref.shape[1]
-    pblk = pow_ref[0]                      # (T, CT)
-    bp_in = bp_ref[0]                      # (CT,)
+    t_idx = pl.program_id(2)
+    TT = pow_ref.shape[1]
+    pblk = pow_ref[0]                      # (TT, CT)
+    bp_in = jnp.where(t_idx == 0, bp_ref[0], bp_scr[0])
     seed = jnp.mean(pblk, axis=0)
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
 
@@ -43,20 +57,31 @@ def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, *, scale: float):
         out_ref[0, t, :] = p_t / bp_n - 1.0
         return bp_n
 
-    bp_f = jax.lax.fori_loop(0, T, body, bp0)
-    bp_out_ref[0, :] = bp_f
+    bp_f = jax.lax.fori_loop(0, TT, body, bp0)
+    bp_scr[0] = bp_f
+
+    @pl.when(t_idx == ntt - 1)
+    def _():
+        bp_out_ref[0] = bp_f
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "chan_tile"))
+@functools.partial(jax.jit, static_argnames=("scale", "chan_tile",
+                                             "time_tile"))
 def normalize_ema_pallas(power: jax.Array, bp: jax.Array, scale: float,
-                         chan_tile: int = 512):
+                         chan_tile: int = 512, time_tile: int = 0):
     """Drop-in for ops.normalize.normalize_ema (unweighted path).
 
     power: (npol, T, nchan); bp: (npol, nchan).  nchan is padded up to a
     multiple of chan_tile internally (pad channels carry bp=1 so the
-    divide is safe).
+    divide is safe).  time_tile (default: all of T) bounds the VMEM block;
+    the bandpass carries across tiles in scratch.
     """
     npol, T, nchan = power.shape
+    tt = time_tile or T
+    tt = min(tt, T)
+    while T % tt:
+        tt -= 1
+    ntt = T // tt
     ct = min(chan_tile, nchan)
     pad = (-nchan) % ct
     if pad:
@@ -65,20 +90,21 @@ def normalize_ema_pallas(power: jax.Array, bp: jax.Array, scale: float,
         bp = jnp.pad(bp, ((0, 0), (0, pad)), constant_values=1.0)
     ntile = (nchan + pad) // ct
     out, bp_new = pl.pallas_call(
-        functools.partial(_ema_kernel, scale=float(scale)),
-        grid=(npol, ntile),
+        functools.partial(_ema_kernel, scale=float(scale), ntt=ntt),
+        grid=(npol, ntile, ntt),
         in_specs=[
-            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+            pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
+            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+            pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
+            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(power.shape, jnp.float32),
             jax.ShapeDtypeStruct(bp.shape, jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((1, ct), jnp.float32)],
         interpret=_interpret(),
     )(power.astype(jnp.float32), bp.astype(jnp.float32))
     if pad:
@@ -87,12 +113,14 @@ def normalize_ema_pallas(power: jax.Array, bp: jax.Array, scale: float,
     return out, bp_new
 
 
-def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref, *,
-                         scale: float, clip_ratio: float, clip_value: float):
+def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref,
+                         bp_scr, *, scale: float, clip_ratio: float,
+                         clip_value: float, ntt: int):
     """Weighted/clipped variant (detect_and_normalize3 semantics)."""
-    T = pow_ref.shape[1]
-    pblk = pow_ref[0]                      # (T, CT)
-    wvec = w_ref[0]                        # (T,)
+    t_idx = pl.program_id(2)
+    TT = pow_ref.shape[1]
+    pblk = pow_ref[0]                      # (TT, CT)
+    wvec = w_ref[0]                        # (TT,)
     good_t = wvec > 0.0
     wsafe = jnp.where(good_t, wvec, 1.0)
     pw = pblk / wsafe[:, None]
@@ -100,7 +128,7 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref, *,
     ngood = jnp.sum(good_t.astype(jnp.float32))
     seed_num = jnp.sum(pw, axis=0)
     seed = jnp.where(ngood > 0, seed_num / jnp.maximum(ngood, 1.0), 1.0)
-    bp_in = bp_ref[0]
+    bp_in = jnp.where(t_idx == 0, bp_ref[0], bp_scr[0])
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
     # stale-bandpass recovery (matches ops.normalize weighted variants)
     stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
@@ -116,20 +144,31 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref, *,
         out_ref[0, t, :] = jnp.where(g, val, 0.0)
         return bp_n
 
-    bp_f = jax.lax.fori_loop(0, T, body, bp0)
-    bp_out_ref[0, :] = bp_f
+    bp_f = jax.lax.fori_loop(0, TT, body, bp0)
+    bp_scr[0] = bp_f
+
+    @pl.when(t_idx == ntt - 1)
+    def _():
+        bp_out_ref[0] = bp_f
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "clip_ratio",
-                                             "clip_value", "chan_tile"))
+                                             "clip_value", "chan_tile",
+                                             "time_tile"))
 def normalize_ema_weighted_pallas(power: jax.Array, weights: jax.Array,
                                   bp: jax.Array, scale: float,
                                   clip_ratio: float = 11.0,
                                   clip_value: float = 10.0,
-                                  chan_tile: int = 512):
+                                  chan_tile: int = 512,
+                                  time_tile: int = 0):
     """Drop-in for ops.normalize.normalize_ema_weighted — EXACT sequential
     semantics (no fixed-point approximation) in one memory pass."""
     npol, T, nchan = power.shape
+    tt = time_tile or T
+    tt = min(tt, T)
+    while T % tt:
+        tt -= 1
+    ntt = T // tt
     ct = min(chan_tile, nchan)
     pad = (-nchan) % ct
     if pad:
@@ -140,21 +179,22 @@ def normalize_ema_weighted_pallas(power: jax.Array, weights: jax.Array,
     out, bp_new = pl.pallas_call(
         functools.partial(_ema_weighted_kernel, scale=float(scale),
                           clip_ratio=float(clip_ratio),
-                          clip_value=float(clip_value)),
-        grid=(npol, ntile),
+                          clip_value=float(clip_value), ntt=ntt),
+        grid=(npol, ntile, ntt),
         in_specs=[
-            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, T), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+            pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
+            pl.BlockSpec((1, tt), lambda i, j, t: (i, t)),
+            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, T, ct), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, ct), lambda i, j: (i, j)),
+            pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
+            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(power.shape, jnp.float32),
             jax.ShapeDtypeStruct(bp.shape, jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((1, ct), jnp.float32)],
         interpret=_interpret(),
     )(power.astype(jnp.float32), weights.astype(jnp.float32),
       bp.astype(jnp.float32))

@@ -58,7 +58,7 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
 
     freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
                                 - 0.5) * cfg.chan_bw_mhz
-    dms = dd.dm_grid(scfg.dm_min, scfg.dm_max, scfg.ndm)
+    dms = search_mod.make_dm_grid(scfg, cfg.tsamp, freqs)
     plan = dd.make_plan(dms, freqs, cfg.tsamp, nsub=min(64, cfg.nchanout),
                         nbatch=min(scfg.ndm, 64),
                         zap_ranges=scfg.zap_ranges)

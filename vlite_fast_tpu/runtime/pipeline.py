@@ -163,6 +163,7 @@ class StationPipeline:
         self._fb, self._searched_to = GulpStream(), 0
         self._pending = None
         self._weights_accum = []
+        self._histo_accum = None
         self._od = od
         self._write_fil = write_fil
         self._search_live = search_live
@@ -204,6 +205,10 @@ class StationPipeline:
         pending_new = out.packed_kur if cfg.rfi_mode else out.packed
         if self.write_kurto:
             self._weights_accum.append(np.asarray(out.weights))
+        if cfg.do_histo and out.histo is not None and out.histo.size:
+            h = np.asarray(out.histo)
+            self._histo_accum = h if self._histo_accum is None \
+                else self._histo_accum + h
         before = len(self._cands)
         if self._pending is not None:
             self._drain(self._pending)
@@ -229,6 +234,10 @@ class StationPipeline:
             with open(fil_path.replace(".fil", ".cand"), "w") as fp:
                 for c in cands:
                     fp.write(c.to_line() + "\n")
+        if fil_path and self._histo_accum is not None:
+            # DOHISTO per-obs product (ref pb_kernels.cu:321-336)
+            np.savez_compressed(fil_path.replace(".fil", "_histo.npz"),
+                                histogram=self._histo_accum)
         if fil_path and self.write_kurto and self._weights_accum:
             np.savez_compressed(fil_path.replace(".fil", "_kurto.npz"),
                                 weights=np.concatenate(
@@ -264,11 +273,10 @@ class StationPipeline:
                 flush and total - self._searched_to > overlap + 64):
             stop = min(self._searched_to + gulp + overlap, total)
             packed = self._fb.window(self._searched_to, stop)
-            block = search_mod.filterbank_from_packed(
-                packed, self.cfg.nbit, self.cfg.nchanout)
-            out.extend(self.search.search_gulp(
-                block, t_offset=self._searched_to))
-            self._searched_to += min(gulp, block.shape[0] - overlap)
+            # packed bytes go to the device as-is; dequantize in-graph
+            out.extend(self.search.search_gulp_packed(
+                packed, self.cfg.nbit, t_offset=self._searched_to))
+            self._searched_to += min(gulp, packed.shape[0] - overlap)
             self._fb.prune(self._searched_to)
             if flush and total - self._searched_to <= overlap + 64:
                 break
