@@ -132,7 +132,7 @@ def test_pfb_channelizer_chain():
     cfg = PipelineConfig.tiny(channelizer="pfb", rfi_mode=0, pfb_ntap=4)
     raw = synthesis.white_noise_uint8(2 * cfg.sample_rate, seed=12)
     st = dsp.init_state(cfg)
-    assert st.tail.shape == (2, 3 * cfg.nfft)
+    assert st.tail.shape == (2, 2, 3 * cfg.nfft)
     outs = []
     for k in range(2):
         out, st = dsp.process_second(

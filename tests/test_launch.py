@@ -1,0 +1,69 @@
+"""One-command array launcher smoke test (VERDICT round-1 item 9).
+
+`vlite-fast launch array.json --fake` must bring up the leader
+(command bus + coincidencer + trigger fanout) and N REAL station-daemon
+subprocesses, run a FAKE_START observation end-to-end over real sockets
+(the writer.c:195-214 no-VLA path), and produce: per-beam .fil products,
+a cross-beam coincidence trigger, and voltage dumps.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vlite_fast_tpu import cli
+from vlite_fast_tpu.config import (AntennaConfig, ArrayConfig,
+                                   PipelineConfig, SearchConfig,
+                                   TriggerConfig)
+from vlite_fast_tpu.models import synthesis
+
+
+@pytest.mark.slow
+def test_launch_fake_observation(tmp_path, capsys):
+    # --- synthesize each antenna's replay file (common pulse, own noise)
+    cfgp = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+    sources = []
+    for k in range(2):
+        s = synthesis.SynthConfig(
+            tobs=2.0, dm=300.0, pulse_period=0.05, skip_period=16,
+            amp=0.4, seed=21 + k, sample_rate=cfgp.sample_rate,
+            freq_bot_mhz=320.0, bandwidth_mhz=0.5, buflen=250_000)
+        stream, _ = synthesis.generate_vdif(s, ref_epoch=40,
+                                            start_second=100,
+                                            station_id=k + 1)
+        path = tmp_path / f"ant{k + 1}.vdif"
+        stream.tofile(path)
+        sources.append(f"file:{path}")
+
+    acfg = ArrayConfig(
+        antennas=(
+            AntennaConfig(station_id=1, name="ea01", source=sources[0]),
+            AntennaConfig(station_id=2, name="ea02", source=sources[1])),
+        pipeline=cfgp,
+        search=SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61,
+                            gulp_samps=512, boxcar_max=16, zap_ranges=(),
+                            snr_thresh=6.0, dm_grid_mode="linear"),
+        trigger=TriggerConfig(snr_thresh=7.5, min_beams=2, min_dm=20.0),
+        command_port=22101, coincidencer_port=22155,
+        trigger_port_base=22200)
+    cfg_path = tmp_path / "array.json"
+    acfg.save(str(cfg_path))
+
+    out = str(tmp_path / "products")
+    cli.main(["launch", str(cfg_path), "--out-dir", out, "--fake",
+              "--fake-duration", "150", "--startup-timeout", "120",
+              "--platform", "cpu"])
+    printed = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(printed[-1])
+    assert summary["stations"] == 2
+    assert summary["triggers"] >= 1
+
+    fils = glob.glob(os.path.join(out, "*.fil"))
+    assert len(fils) == 2                       # one per beam
+    dumps = glob.glob(os.path.join(out, "dumps", "*.vdif"))
+    assert len(dumps) >= 2                      # both stations dumped
+    for d in dumps:
+        assert os.path.getsize(d) > 0

@@ -9,6 +9,9 @@ python -m vlite_fast_tpu.cli <command>:
   waterfall  render a .fil waterfall PNG (make_plots role)
   unwrap     check/repair dump frame continuity (db_unwrap role)
   send-cmd   publish a command on a leader bus (send_commands.py role)
+  launch     start a whole array from one config: leader + coincidencer +
+             N station daemons (the scripts/launch + start_single +
+             start_coadd role)
   bench      the headline benchmark (prints one JSON line)
 """
 
@@ -238,6 +241,82 @@ def cmd_scrub_ring(args):
                       "nbufs": args.nbufs, "replaced": existed}))
 
 
+def cmd_launch(args):
+    """One-command array bring-up (ref scripts/launch:5-12 +
+    scripts/start_single + config/hosts): the CLI process becomes the
+    leader (command bus + coincidencer + trigger fanout) and each antenna
+    row of the config gets a station-daemon subprocess.
+
+    --fake runs one fake observation (FAKE_START, the writer.c:195-214
+    no-VLA test path) and shuts the array down afterwards; without it the
+    array stays up until Ctrl-C or a QUIT on the manual port.
+    """
+    import subprocess
+    import time as _t
+
+    from vlite_fast_tpu.config import ArrayConfig
+    from vlite_fast_tpu.runtime.leader_main import Leader
+
+    acfg = ArrayConfig.load(args.config)
+    out = args.out_dir
+    leader = Leader(acfg, out, manual_port=args.manual_port,
+                    obsinfo_port=args.obsinfo_port,
+                    waterfall=args.waterfall)
+    procs = []
+    try:
+        for a in acfg.antennas:
+            cmd = [sys.executable, "-m",
+                   "vlite_fast_tpu.runtime.station_main",
+                   "--station", str(a.station_id),
+                   "--config", args.config,
+                   "--source", a.source,
+                   "--out-dir", out,
+                   "--leader", "127.0.0.1",
+                   "--command-port", str(acfg.command_port),
+                   "--coincidencer",
+                   f"127.0.0.1:{acfg.coincidencer_port}",
+                   "--trigger-port",
+                   str(acfg.trigger_port_base + a.station_id)]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            procs.append(subprocess.Popen(cmd))
+        if not leader.wait_for_stations(len(procs),
+                                        timeout=args.startup_timeout):
+            raise RuntimeError(
+                f"only {leader.n_stations_connected}/{len(procs)} "
+                "stations connected")
+        print(f"array up: {len(procs)} stations connected")
+        if args.fake:
+            leader.fake_observation()
+            deadline = _t.time() + args.fake_duration
+            while _t.time() < deadline:
+                if leader.coincidencer.triggers:
+                    _t.sleep(3.0)   # let trigger fanout + dumps settle
+                    break
+                _t.sleep(0.5)
+            leader.stop_observation()
+            _t.sleep(2.0)
+        else:
+            while leader._running and all(pr.poll() is None
+                                          for pr in procs):
+                _t.sleep(0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        leader.shutdown()
+        for pr in procs:
+            try:
+                pr.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                pr.terminate()
+                try:
+                    pr.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    pr.kill()
+    ntrig = len(leader.coincidencer.triggers)
+    print(json.dumps({"stations": len(procs), "triggers": ntrig}))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -333,6 +412,21 @@ def main(argv=None):
     s.add_argument("--bufsz", type=int, required=True)
     s.add_argument("--nbufs", type=int, default=8)
     s.set_defaults(fn=cmd_scrub_ring)
+
+    s = sub.add_parser("launch", help="start leader + N station daemons "
+                                      "from one array config")
+    s.add_argument("config", help="ArrayConfig JSON (config/hosts role)")
+    s.add_argument("--out-dir", default="/tmp/vfast")
+    s.add_argument("--fake", action="store_true",
+                   help="run one FAKE_START observation, then shut down")
+    s.add_argument("--fake-duration", type=float, default=10.0)
+    s.add_argument("--startup-timeout", type=float, default=90.0)
+    s.add_argument("--manual-port", type=int, default=None)
+    s.add_argument("--obsinfo-port", type=int, default=None)
+    s.add_argument("--waterfall", action="store_true")
+    s.add_argument("--platform", default="",
+                   help="jax platform for the stations (e.g. 'cpu')")
+    s.set_defaults(fn=cmd_launch)
 
     s = sub.add_parser("bench", help="headline benchmark")
     s.set_defaults(fn=cmd_bench)

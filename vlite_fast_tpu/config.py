@@ -53,8 +53,10 @@ class PipelineConfig:
                                    # workaround; exact parity with 'scan')
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
                                    # | 'pfb' (streaming WOLA polyphase;
-                                   # sharper channel response; rfi_mode 0
-                                   # only in this round)
+                                   # sharper channel response; works with
+                                   # every rfi_mode — WOLA weight
+                                   # bookkeeping via ops.channelize
+                                   # .pfb_weights)
     pfb_ntap: int = 4              # polyphase taps when channelizer='pfb'
     # NB a bf16 DFT variant was measured SLOWER than f32-highest on the
     # TPU (the chain is HBM-bandwidth-bound, not MXU-bound) and was removed
@@ -132,10 +134,6 @@ class PipelineConfig:
             raise ValueError("ffts_per_seg must be a multiple of nscrunch")
         if self.nbit not in (2, 4, 8):
             raise ValueError("nbit must be 2, 4 or 8")
-        if self.channelizer == "pfb" and self.rfi_mode != 0:
-            raise ValueError("pfb channelizer currently requires "
-                             "rfi_mode=0 (kurtosis weight bookkeeping is "
-                             "defined per FFT frame, not per WOLA window)")
         samples_per_byte = 8 // self.nbit
         if (self.out_samps_per_seg * self.nchanout * self.npol_out) % samples_per_byte:
             raise ValueError("channel/bit scheme is not byte-commensurate "
@@ -224,11 +222,14 @@ class TriggerConfig:
 
 @dataclass(frozen=True)
 class AntennaConfig:
-    """One antenna stream (one row of the reference's config/hosts table)."""
+    """One antenna stream (one row of the reference's config/hosts table:
+    hostname iface gpu ports keys ..., ref src/utils.c:421-457)."""
 
     station_id: int
     name: str = ""
     position_m: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # ECEF-ish
+    source: str = "udp:20000"    # station data source: 'udp:PORT' (live
+                                 # VDIF datagrams) or 'file:PATH' (replay)
 
 
 @dataclass(frozen=True)
@@ -245,6 +246,10 @@ class ArrayConfig:
     # mesh shape: antennas sharded over 'ant', search time blocks over 'time'
     mesh_ant: int = 1
     mesh_time: int = 1
+    # service ports (the multicast group/port table role, multicast.h:10-26)
+    command_port: int = 20001      # leader TCP command bus
+    coincidencer_port: int = 27555  # candidate batches (trigger.py:37)
+    trigger_port_base: int = 21000  # station k listens on base + station_id
 
     @property
     def nant(self) -> int:

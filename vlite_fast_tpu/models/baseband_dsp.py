@@ -50,9 +50,13 @@ class DSPState(NamedTuple):
     bp: jax.Array        # (npol, nchan) plain-stream bandpass
     bp_kur: jax.Array    # (npol, nchan) kurtosis-stream bandpass
     segs_since_inject: jax.Array  # int32 scalar; <0 means not armed
-    tail: jax.Array      # (npol, (pfb_ntap-1)*nfft) carried voltages for
-                         # the streaming WOLA channelizer ((npol, 0) unless
+    tail: jax.Array      # (2, npol, (pfb_ntap-1)*nfft) carried voltages
+                         # for the streaming WOLA channelizer — stream 0
+                         # plain, stream 1 RFI-masked ((2, npol, 0) unless
                          # channelizer == 'pfb')
+    wtail: jax.Array     # (npol, pfb_ntap-1) carried per-block kurtosis
+                         # weights for the WOLA weight bookkeeping
+                         # ((npol, 0) unless channelizer == 'pfb')
 
 
 class SegmentOutput(NamedTuple):
@@ -65,13 +69,15 @@ class SegmentOutput(NamedTuple):
 
 
 def init_state(cfg: PipelineConfig) -> DSPState:
-    tail_len = (cfg.pfb_ntap - 1) * cfg.nfft if cfg.channelizer == "pfb" \
-        else 0
+    pfb = cfg.channelizer == "pfb"
+    tail_len = (cfg.pfb_ntap - 1) * cfg.nfft if pfb else 0
+    wtail_len = (cfg.pfb_ntap - 1) if pfb else 0
     return DSPState(
         bp=jnp.zeros((cfg.npol_in, cfg.nchan), jnp.float32),
         bp_kur=jnp.zeros((cfg.npol_in, cfg.nchan), jnp.float32),
         segs_since_inject=jnp.int32(-1),
-        tail=jnp.zeros((cfg.npol_in, tail_len), jnp.float32),
+        tail=jnp.zeros((2, cfg.npol_in, tail_len), jnp.float32),
+        wtail=jnp.ones((cfg.npol_in, wtail_len), jnp.float32),
     )
 
 
@@ -101,21 +107,28 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         x_kur, weights = res.masked, res.weights
         dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
 
-    new_tail = state.tail
+    new_tail, new_wtail = state.tail, state.wtail
     if cfg.channelizer == "pfb":
         # streaming WOLA: prepend the carried (ntap-1)*nfft voltages so
         # this segment yields exactly ffts_per_seg spectra, then carry the
         # segment's own tail forward (genbase's overlap pattern applied to
-        # the analysis side)
-        def spectra(v):
-            v_ext = jnp.concatenate([state.tail, v], axis=1)
+        # the analysis side).  Stream 0 carries plain voltages, stream 1
+        # the RFI-masked ones; the kurtosis weights get the matching
+        # WOLA-window bookkeeping (ch_ops.pfb_weights).
+        def spectra(v, stream=0):
+            v_ext = jnp.concatenate([state.tail[stream], v], axis=1)
             return ch_ops.polyphase_channelize(v_ext, cfg.nfft,
                                                cfg.pfb_ntap,
                                                method="matmul")
 
-        new_tail = x[:, -(cfg.pfb_ntap - 1) * cfg.nfft:]
+        tl = (cfg.pfb_ntap - 1) * cfg.nfft
+        new_tail = jnp.stack([x[:, -tl:], x_kur[:, -tl:]])
+        if cfg.rfi_mode > 0:
+            w_ext = jnp.concatenate([state.wtail, weights], axis=1)
+            new_wtail = weights[:, -(cfg.pfb_ntap - 1):]
+            weights = ch_ops.pfb_weights(w_ext, cfg.pfb_ntap, cfg.nfft)
     else:
-        def spectra(v):
+        def spectra(v, stream=0):
             return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer)
 
     def maybe_inject(spec):
@@ -165,20 +178,22 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         packed, bp = finish_plain(maybe_inject(spectra(x)), bp)
         packed_kur = empty
     elif cfg.rfi_mode == 1:
-        packed_kur, bp_kur = finish_kur(maybe_inject(spectra(x_kur)), bp_kur)
+        packed_kur, bp_kur = finish_kur(
+            maybe_inject(spectra(x_kur, 1)), bp_kur)
         packed = empty
     else:
         # NB: batching both streams into one 2x DFT was measured 2x SLOWER
         # (the concat doubles the live intermediate and breaks the
         # producer/consumer pipelining XLA finds for sequential streams)
         packed, bp = finish_plain(maybe_inject(spectra(x)), bp)
-        packed_kur, bp_kur = finish_kur(maybe_inject(spectra(x_kur)), bp_kur)
+        packed_kur, bp_kur = finish_kur(
+            maybe_inject(spectra(x_kur, 1)), bp_kur)
 
     new_since = jnp.where(state.segs_since_inject >= 0,
                           state.segs_since_inject + 1,
                           state.segs_since_inject)
     new_state = DSPState(bp=bp, bp_kur=bp_kur, segs_since_inject=new_since,
-                         tail=new_tail)
+                         tail=new_tail, wtail=new_wtail)
     return SegmentOutput(packed, packed_kur, weights, dag_frac), new_state
 
 
@@ -195,7 +210,7 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
     width = cfg.inject_width_s * cfg.seg_per_sec * cfg.ffts_per_seg
 
     def step(carry, seg):
-        since, tail = carry
+        since, tail, wtail = carry
         x = unpack_ops.convert_uint8(seg)
         weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
         dag_frac = jnp.float32(0.0)
@@ -207,15 +222,21 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
             x_kur, weights = res.masked, res.weights
             dag_frac = jnp.mean((res.dag >= cfg.dag_thresh)
                                 .astype(jnp.float32))
-        new_tail = tail
+        new_tail, new_wtail = tail, wtail
         if cfg.channelizer == "pfb":
-            def spectra(v):
-                v_ext = jnp.concatenate([tail, v], axis=1)
+            def spectra(v, stream=0):
+                v_ext = jnp.concatenate([tail[stream], v], axis=1)
                 return ch_ops.polyphase_channelize(
                     v_ext, cfg.nfft, cfg.pfb_ntap, method="matmul")
-            new_tail = x[:, -(cfg.pfb_ntap - 1) * cfg.nfft:]
+            tl = (cfg.pfb_ntap - 1) * cfg.nfft
+            new_tail = jnp.stack([x[:, -tl:], x_kur[:, -tl:]])
+            if cfg.rfi_mode > 0:
+                w_ext = jnp.concatenate([wtail, weights], axis=1)
+                new_wtail = weights[:, -(cfg.pfb_ntap - 1):]
+                weights = ch_ops.pfb_weights(w_ext, cfg.pfb_ntap,
+                                             cfg.nfft)
         else:
-            def spectra(v):
+            def spectra(v, stream=0):
                 return ch_ops.channelize(v, cfg.nfft,
                                          method=cfg.channelizer)
 
@@ -230,20 +251,21 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
         p_plain = norm_ops.detect(maybe_inject(spectra(x))) \
             if cfg.rfi_mode != 1 else jnp.zeros(
                 (cfg.npol_in, 0, cfg.nchan), jnp.float32)
-        p_kur = norm_ops.detect(maybe_inject(spectra(x_kur))) \
+        p_kur = norm_ops.detect(maybe_inject(spectra(x_kur, 1))) \
             if cfg.rfi_mode != 0 else jnp.zeros(
                 (cfg.npol_in, 0, cfg.nchan), jnp.float32)
         since2 = jnp.where(since >= 0, since + 1, since)
-        return (since2, new_tail), (p_plain, p_kur, weights, dag_frac)
+        return (since2, new_tail, new_wtail), (p_plain, p_kur, weights,
+                                               dag_frac)
 
-    (since, tail), (pp, pk, w, df) = jax.lax.scan(
-        step, (state.segs_since_inject, state.tail), segs)
+    (since, tail, wtail), (pp, pk, w, df) = jax.lax.scan(
+        step, (state.segs_since_inject, state.tail, state.wtail), segs)
     # (nseg, npol, ffts, nchan) -> (npol, nseg*ffts, nchan)
     fold = lambda a: jnp.swapaxes(a, 0, 1).reshape(
         cfg.npol_in, -1, cfg.nchan) if a.shape[-2] else a.reshape(
         cfg.npol_in, 0, cfg.nchan)
     weights = jnp.swapaxes(w, 0, 1).reshape(cfg.npol_in, -1)
-    return fold(pp), fold(pk), weights, jnp.mean(df), since, tail
+    return fold(pp), fold(pk), weights, jnp.mean(df), since, tail, wtail
 
 
 def _finish_stream(cfg: PipelineConfig, out: jax.Array,
@@ -305,7 +327,7 @@ def process_second(cfg: PipelineConfig, raw_second: jax.Array,
     from vlite_fast_tpu.ops import pallas_kernels as pk
     state = state._replace(segs_since_inject=jnp.where(
         arm_inject, jnp.int32(0), state.segs_since_inject))
-    pp, pkur, weights, dag_frac, since, tail = _second_powers(
+    pp, pkur, weights, dag_frac, since, tail, wtail = _second_powers(
         cfg, raw_second, state)
     tt = cfg.ffts_per_seg   # tile = one segment: per-segment seed parity
     bp, bp_kur = state.bp, state.bp_kur
@@ -322,7 +344,7 @@ def process_second(cfg: PipelineConfig, raw_second: jax.Array,
             pkur, weights, bp_kur, cfg.bp_scale, time_tile=tt)
         packed_kur = _finish_stream(cfg, out, weights)
     new_state = DSPState(bp=bp, bp_kur=bp_kur, segs_since_inject=since,
-                         tail=tail)
+                         tail=tail, wtail=wtail)
     histo = kur_ops.sample_histogram(raw_second) if cfg.do_histo \
         else jnp.zeros((cfg.npol_in, 0), jnp.int32)
     return SegmentOutput(packed, packed_kur, weights, dag_frac,

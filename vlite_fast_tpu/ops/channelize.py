@@ -109,6 +109,30 @@ def _pfb_window(ntap: int, nfft: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def pfb_weights(w_ext: jax.Array, ntap: int, nfft: int) -> jax.Array:
+    """WOLA-window kurtosis-weight bookkeeping.
+
+    The FFT path's weights are 'surviving fraction of fine windows per
+    nfft block' (ops/kurtosis.apply_mask, ref pb_kernels.cu:243-295).  A
+    WOLA spectrum j instead draws ntap consecutive blocks [j, j+ntap)
+    through the prototype window, so its effective surviving fraction is
+    the tap-ENERGY-weighted mean of those blocks' fractions (the energy of
+    window tap t sets how much block j+t contributes to spectrum j's
+    power, hence to its bias/variance correction downstream).
+
+    w_ext: (npol, nblk + ntap - 1) per-block fractions INCLUDING the
+    ntap-1 carried blocks from the previous segment, oldest first.
+    Returns (npol, nblk) per-spectrum weights.
+    """
+    win = jnp.asarray(_pfb_window(ntap, nfft))
+    e = jnp.sum(win.reshape(ntap, nfft) ** 2, axis=1)
+    e = e / jnp.sum(e)                                   # (ntap,)
+    npol, next_ = w_ext.shape
+    nblk = next_ - (ntap - 1)
+    idx = jnp.arange(nblk)[:, None] + jnp.arange(ntap)[None, :]
+    return jnp.sum(w_ext[:, idx] * e[None, None, :], axis=-1)
+
+
 def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4,
                          method: str = "fft") -> jax.Array:
     """WOLA polyphase filterbank (ref analysis/baseband.py:1207-1238).

@@ -80,7 +80,9 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
         state = dsp.DSPState(
             bp=bp, bp_kur=bp_kur,
             segs_since_inject=jnp.full(raw.shape[:2], -1, jnp.int32),
-            tail=jnp.zeros(raw.shape[:2] + (cfg.npol_in, 0), jnp.float32))
+            tail=jnp.zeros(raw.shape[:2] + (2, cfg.npol_in, 0),
+                           jnp.float32),
+            wtail=jnp.ones(raw.shape[:2] + (cfg.npol_in, 0), jnp.float32))
 
         def one(raw_blk, st):
             # process nsec_per_block seconds sequentially (EMA carry)

@@ -176,11 +176,26 @@ def main(argv=None):
     p.add_argument("--trigger-port", type=int, default=20003)
     p.add_argument("--source", default="udp:20000")
     p.add_argument("--out-dir", default="/tmp/vfast")
+    p.add_argument("--config", default=None,
+                   help="array.json: geometry/search from ArrayConfig "
+                        "(the config/hosts row role)")
     p.add_argument("--tiny", action="store_true",
                    help="shrunken geometry (testing)")
+    p.add_argument("--platform", default="",
+                   help="jax platform override (e.g. 'cpu' for tiny "
+                        "test geometries; default: the session backend)")
     args = p.parse_args(argv)
-    cfg = PipelineConfig.tiny() if args.tiny else PipelineConfig()
-    scfg = SearchConfig.tiny() if args.tiny else SearchConfig()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.config:
+        from vlite_fast_tpu.config import ArrayConfig
+        acfg = ArrayConfig.load(args.config)
+        cfg, scfg = acfg.pipeline, acfg.search
+    elif args.tiny:
+        cfg, scfg = PipelineConfig.tiny(), SearchConfig.tiny()
+    else:
+        cfg, scfg = PipelineConfig(), SearchConfig()
     host, port = args.coincidencer.split(":")
     d = StationDaemon(args.station, cfg, scfg, args.out_dir,
                       leader_host=args.leader,
