@@ -1,0 +1,115 @@
+"""UDP capture soak: sustain the production wire rate over localhost.
+
+Round-1 left the Python UDP receive loop unproven against the 51,200
+frames/s/antenna wire rate (256 MB/s, ref src/def.h:22-23; the reference
+drains 20 packets per select wake from PF_PACKET, writer.c:611-614).
+This drives the production path — recvmmsg batch drain (csrc/netcap.cpp)
+-> vectorized SecondAssembler -> shm ring — from a forked sender process
+blasting real 5032-byte VDIF frames at localhost.
+
+Run: python benchmarks/bench_udp.py [seconds] [rate_frames_per_sec]
+Prints one JSON line with achieved receive/assembly rates.
+"""
+
+import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import socket
+import time
+
+import numpy as np
+
+from vlite_fast_tpu import constants as C
+from vlite_fast_tpu.runtime import capture
+from vlite_fast_tpu.runtime.ring import RingBuffer
+from vlite_fast_tpu.utils import vdif
+
+
+def sender_proc(port: int, nsec: int, fps_total: int):
+    """Child: send nsec * fps_total frames as fast as the wire rate."""
+    rate = C.VLITE_RATE
+    samples = np.random.default_rng(0).integers(
+        1, 255, (2, rate), dtype=np.uint8)
+    frames = []
+    for sec in range(nsec):
+        stream = vdif.streams_to_frames(samples, ref_epoch=10,
+                                        start_second=100 + sec,
+                                        sample_rate=rate)
+        frames.append(stream.reshape(-1, C.VDIF_FRAME_BYTES))
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 64 << 20)
+    addr = ("127.0.0.1", port)
+    t0 = time.perf_counter()
+    sent = 0
+    for sec_frames in frames:
+        sec_t0 = time.perf_counter()
+        for i in range(0, len(sec_frames), 64):
+            for f in sec_frames[i:i + 64]:
+                tx.sendto(f.tobytes(), addr)
+                sent += 1
+            # pace to ~wire rate so the receiver's 64 MB buffer holds
+            ahead = sent / fps_total - (time.perf_counter() - t0)
+            if ahead > 0.05:
+                time.sleep(ahead)
+    dt = time.perf_counter() - t0
+    os.write(2, f"sender: {sent} frames in {dt:.2f}s "
+                f"({sent/dt:.0f}/s)\n".encode())
+    tx.close()
+    os._exit(0)
+
+
+def main():
+    nsec = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    fps_total = int(sys.argv[2]) if len(sys.argv) > 2 else 2 * C.FRAMES_PER_SEC
+
+    rx = capture.UDPCapture(port=0, sample_rate=C.VLITE_RATE, batch=512)
+    assert rx._lib is not None, "netcap helper missing"
+    port = rx.sock.getsockname()[1]
+    ring = RingBuffer("/vfast_udp_soak", bufsz=2 * C.VLITE_RATE, nbufs=2,
+                      create=True)
+    warm = np.zeros(2 * C.VLITE_RATE, np.uint8)
+    for _ in range(2):
+        ring.write(warm, timestamp=0.0, overwrite=True)
+
+    pid = os.fork()
+    if pid == 0:
+        sender_proc(port, nsec, fps_total)
+
+    total_frames = nsec * fps_total
+    done_secs = 0
+    t0 = time.perf_counter()
+    deadline = t0 + nsec + 15
+    while time.perf_counter() < deadline:
+        for sec, buf in rx.poll(max_frames=512):
+            ring.write(buf.reshape(-1), timestamp=float(sec),
+                       overwrite=True)
+            done_secs += 1
+        got = rx.asm.stats.frames + rx.asm.stats.skipped
+        if got >= total_frames - rx.asm.frames_per_sec:
+            break
+    dt = time.perf_counter() - t0
+    os.waitpid(pid, 0)
+    st = rx.asm.stats
+    rx.close()
+    ring.close(unlink=True)
+    received = st.frames
+    print(json.dumps({
+        "metric": "UDP capture soak (recvmmsg + assembler + shm ring)",
+        "target_frames_per_s": fps_total,
+        "achieved_frames_per_s": round(received / dt),
+        "wall_s": round(dt, 2),
+        "frames_received": received,
+        "frames_lost": st.skipped,
+        "loss_fraction": round(st.skipped / max(1, received + st.skipped),
+                               5),
+        "seconds_assembled": done_secs,
+        "sustained_wire_rate": bool(received / dt >= 51_200
+                                    and st.skipped / max(1, received)
+                                    < 0.01),
+    }))
+
+
+if __name__ == "__main__":
+    main()

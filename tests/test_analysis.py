@@ -219,3 +219,29 @@ def test_refine_dm():
     dm_grid = np.linspace(50, 250, 41)
     dm_best, snr = loc.refine_dm(fb, 2e-3, freqs, dm_grid)
     assert abs(dm_best - true_dm) < 15.0
+
+
+def test_cyclic_autocorrelation_detects_modulation():
+    """Cyclic spectrum via correlate(alpha_hz): an amplitude-modulated
+    tone has a nonzero cyclic autocorrelation at its modulation rate,
+    plain noise does not (ref analysis/baseband.py:811,842-846)."""
+    rng = np.random.default_rng(20)
+    n = 400_000
+    t = np.arange(n)
+    f0, fmod = 0.21, 0.004         # cycles/sample
+    am = (1.0 + 0.9 * np.cos(2 * np.pi * fmod * t))
+    sig = am * np.cos(2 * np.pi * f0 * t)
+    x = sig + 0.5 * rng.standard_normal(n)
+    u = np.clip(np.stack([x, x]) * 40 + 128.5, 0, 255).astype(np.uint8)
+    d = bb.VoltageDump(samples=u, start_time=0.0, station_id=1,
+                       sample_rate=RATE)
+    nfft = 500
+    alpha = 2 * fmod * RATE        # AM cyclic feature at 2*fmod
+    cyc = bb.correlate(d, d, nfft=nfft, alpha_hz=alpha)[0, 0]
+    base = bb.correlate(d, d, nfft=nfft, alpha_hz=10 * alpha)[0, 0]
+    # the shift-by-2*fmod product links the AM sidebands f0 +- fmod
+    chan = int(round((f0 + fmod) * nfft))
+    assert np.abs(cyc[chan]) > 5 * np.abs(base[chan])
+    # incommensurate cyclic frequency is rejected
+    with pytest.raises(ValueError):
+        bb.correlate(d, d, nfft=nfft, alpha_hz=RATE / nfft * 1.5)

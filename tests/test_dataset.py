@@ -201,3 +201,35 @@ def test_clean_coherent_dedisperse_beats_raw_chirp():
     assert flags.any()                       # the tone was caught
     assert peak_snr(cleaned) > peak_snr(raw)
     assert peak_snr(cleaned) > 8.0
+
+
+def test_cli_localize(tmp_path, capsys):
+    """The researcher-facing command over the same dump set."""
+    import json
+    from vlite_fast_tpu import cli
+    rng = np.random.default_rng(9)
+    nant, n = 3, 200_000
+    positions = np.array([[0.0, 0.0, 0.0], [2000.0, 0.0, 0.0],
+                          [0.0, 2000.0, 0.0]])
+    az_true, el_true = 0.8, 0.9
+    s_hat = loc.direction_unit(np.array(az_true), np.array(el_true))
+    tau = positions @ s_hat / loc.C_LIGHT
+    margin = 2000
+    common = np.zeros(n + 2 * margin, np.float64)
+    common[rng.integers(margin, n, 40)] = 20.0
+    common += 0.3 * rng.standard_normal(common.size)
+    for k in range(nant):
+        sig = frac_shift(common, tau[k] * RATE)[margin:margin + n]
+        x = np.stack([sig, sig]) + 0.5 * rng.standard_normal((2, n))
+        u = np.clip(x * 12.8 + 128.5, 0, 255).astype(np.uint8)
+        write_dump(tmp_path, f"a{k}.vdif", u, k + 1, 9, 0)
+    posfile = tmp_path / "pos.json"
+    posfile.write_text(json.dumps({str(k + 1): list(positions[k])
+                                   for k in range(nant)}))
+    cli.main(["localize", str(tmp_path), "--positions", str(posfile),
+              "--nfft", "500", "--sigma-ns",
+              str(0.7 / RATE * 1e9), "--sample-rate", str(RATE)])
+    out = capsys.readouterr().out.strip().splitlines()
+    res = json.loads(out[-1])
+    assert abs(res["az_rad"] - az_true) < 0.15
+    assert abs(res["el_rad"] - el_true) < 0.15

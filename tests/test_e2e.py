@@ -154,3 +154,48 @@ def test_no_candidates_on_pure_noise():
                                       nsub=16, nbatch=61)
     cands = eng.search_stream(fb)
     assert len(cands) == 0
+
+
+def test_search_gulp_packed_matches_unpacked():
+    """The packed device-search path (bytes in, top-k out) must find the
+    same candidates as the float path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.models import baseband_dsp as dsp
+    from vlite_fast_tpu.models import search as search_mod
+    from vlite_fast_tpu.models import synthesis
+
+    cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+    s = synthesis.SynthConfig(tobs=2.0, dm=300.0, pulse_period=0.05,
+                              skip_period=16, amp=0.4, seed=3,
+                              sample_rate=cfg.sample_rate,
+                              freq_bot_mhz=320.0, bandwidth_mhz=0.5,
+                              buflen=250_000)
+    samples, _ = synthesis.generate_baseband(s)
+    st = dsp.init_state(cfg)
+    blocks = []
+    for k in range(2):
+        raw = samples[:, k * cfg.sample_rate:(k + 1) * cfg.sample_rate]
+        out, st = dsp.process_second(cfg, jnp.asarray(raw), st,
+                                     jnp.asarray(False))
+        blocks.append(np.asarray(out.packed_kur))
+    packed = np.concatenate(blocks, axis=0)
+
+    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61, gulp_samps=512,
+                        boxcar_max=16, zap_ranges=(), snr_thresh=6.0,
+                        dm_grid_mode="linear")
+    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
+                                - 0.5) * cfg.chan_bw_mhz
+    eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
+                                       nsub=16, nbatch=61)
+    n = scfg.gulp_samps + eng.overlap
+    fb = search_mod.filterbank_from_packed(packed[:n], cfg.nbit,
+                                           cfg.nchanout)
+    a = eng.search_gulp(fb, t_offset=0)
+    b = eng.search_gulp_packed(packed[:n], cfg.nbit, t_offset=0)
+    assert len(a) == len(b) >= 1
+    for ca, cb in zip(sorted(a, key=lambda c: c.peak_idx),
+                      sorted(b, key=lambda c: c.peak_idx)):
+        assert ca.peak_idx == cb.peak_idx and ca.dmi == cb.dmi
+        assert abs(ca.snr - cb.snr) < 1e-3

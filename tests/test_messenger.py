@@ -68,3 +68,40 @@ def test_udp_ingest_and_bus():
         s.close()
     finally:
         m.shutdown()
+
+
+def test_source_whitelist():
+    """check_name/check_id/check_coords policy (ref src/util.c:91-152)."""
+    from vlite_fast_tpu.runtime.sources import SourceWhitelist, coord_dist
+    wl = SourceWhitelist()
+    assert wl.check_name("PSR B0329+54 drift")
+    assert wl.check_name("R3")
+    assert not wl.check_name("J9999+99")
+    assert wl.check_id("TSKY0001.sb.18B-405.eb123")
+    assert not wl.check_id("20A-000")
+    assert wl.check_coords(1.1448, 1.2857)          # arr2 position
+    assert not wl.check_coords(0.0, 0.0)
+    assert coord_dist(0.0, 0.0, 0.5, 0.5) == 0.0
+    # file round-trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pth = os.path.join(d, "src.json")
+        wl.save(pth)
+        wl2 = SourceWhitelist.load(pth)
+        assert wl2.names == wl.names and wl2.positions == wl.positions
+
+
+def test_messenger_source_of_interest_alert():
+    from vlite_fast_tpu.runtime.messenger import Messenger, MessengerConfig
+    from vlite_fast_tpu.runtime.control import ObservationDocument
+    hits = []
+    m = Messenger(MessengerConfig(
+        notify=lambda subj, body: hits.append((subj, body))))
+    m.feed_observation(ObservationDocument(
+        name="B0329+54", ra=0.9, dec=0.95, scan_no=2, start_time=1e9))
+    assert len(hits) == 1 and "B0329+54" in hits[0][0]
+    # an uninteresting source does not alert
+    m.feed_observation(ObservationDocument(
+        name="J9999+99", ra=2.0, dec=0.1, scan_no=3, start_time=1e9))
+    assert len(hits) == 1
+    m.shutdown()

@@ -216,9 +216,9 @@ class TestNormalize:
         o2, b2 = pk.normalize_ema_pallas(jnp.asarray(p), jnp.asarray(bp0),
                                          0.02, chan_tile=16)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
-                                   atol=2e-6)
+                                   rtol=2e-6, atol=2e-6)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
-                                   atol=2e-6)
+                                   rtol=2e-6, atol=2e-6)
 
     def test_pallas_ema_weighted_matches_scan(self):
         from vlite_fast_tpu.ops import pallas_kernels as pk
@@ -234,9 +234,9 @@ class TestNormalize:
             jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.05,
             chan_tile=20)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
-                                   atol=2e-6)
+                                   rtol=2e-6, atol=2e-6)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
-                                   atol=2e-6)
+                                   rtol=2e-6, atol=2e-6)
 
     def test_pscrunch(self):
         x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)

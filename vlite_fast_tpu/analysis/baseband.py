@@ -159,10 +159,28 @@ def polyphase_filterbank(dump: VoltageDump, nfft: int = C.NFFT,
     return (np.abs(spec) ** 2).sum(axis=0)
 
 
+def _alpha_index(alpha_hz: float, sample_rate: int, nfft: int) -> int:
+    """Cyclic frequency -> channel shift; must be commensurate with the
+    FFT grid (ref analysis/baseband.py:820-824)."""
+    df = sample_rate / nfft
+    k = int(round(alpha_hz / df))
+    if abs(k * df - alpha_hz) > 1e-6 * df:
+        raise ValueError("cyclic frequency not commensurate with the "
+                         f"FFT grid (df = {df} Hz)")
+    return k
+
+
 def correlate(a: VoltageDump, b: VoltageDump, nfft: int = 2500,
-              nav: int = 0) -> np.ndarray:
+              nav: int = 0, alpha_hz: float = 0.0) -> np.ndarray:
     """FX cross-correlation of one baseline
     (ref analysis/baseband.py:807-859 correlate).
+
+    alpha_hz != 0 computes the CYCLIC cross-spectrum at that cyclic
+    frequency: the conjugated spectrum is shifted by alpha before the
+    product, C(f; alpha) = <S_a(f) S_b*(f - alpha)> — nonzero for
+    cyclostationary signals (e.g. the MUOS OFDM symbol rate), the tool
+    the reference uses to identify modulated RFI
+    (ref analysis/baseband.py:811,842-846 + :1069-1139).
 
     Returns visibilities (npol, nspec_av, nchan) complex64 where
     nav spectra are averaged (0 = average everything)."""
@@ -170,7 +188,11 @@ def correlate(a: VoltageDump, b: VoltageDump, nfft: int = 2500,
     xb = jnp.asarray(b.voltages())
     sa = ch_ops.channelize(xa, nfft)          # (npol, nspec, nchan)
     sb = ch_ops.channelize(xb, nfft)
-    vis = sa * jnp.conj(sb)
+    sbc = jnp.conj(sb)
+    if alpha_hz:
+        k = _alpha_index(alpha_hz, a.sample_rate, nfft)
+        sbc = jnp.roll(sbc, k, axis=-1)
+    vis = sa * sbc
     if nav == 0:
         return np.asarray(jnp.mean(vis, axis=1, keepdims=True))
     nspec = vis.shape[1] - vis.shape[1] % nav
@@ -179,20 +201,28 @@ def correlate(a: VoltageDump, b: VoltageDump, nfft: int = 2500,
 
 
 def correlation_matrix(dumps: Sequence[VoltageDump],
-                       nfft: int = 2500) -> np.ndarray:
+                       nfft: int = 2500,
+                       alpha_hz: float = 0.0) -> np.ndarray:
     """Full cross-correlation matrix over all baselines (incl. autos).
+    alpha_hz != 0 gives the cyclic matrix (incl. cyclic AUTOS — the
+    reference's modulated-RFI detector, analysis/baseband.py:842-846).
     Returns (nant, nant, npol, nchan) time-averaged visibilities."""
     dumps = re_order(dumps)
     specs = [ch_ops.channelize(jnp.asarray(d.voltages()), nfft)
              for d in dumps]
     nant = len(dumps)
     npol, _, nchan = specs[0].shape
+    k = _alpha_index(alpha_hz, dumps[0].sample_rate, nfft) \
+        if alpha_hz else 0
     out = np.zeros((nant, nant, npol, nchan), np.complex64)
     for i in range(nant):
-        for j in range(i, nant):
-            v = jnp.mean(specs[i] * jnp.conj(specs[j]), axis=1)
+        for j in range(0 if k else i, nant):
+            sjc = jnp.conj(specs[j])
+            if k:
+                sjc = jnp.roll(sjc, k, axis=-1)
+            v = jnp.mean(specs[i] * sjc, axis=1)
             out[i, j] = np.asarray(v)
-            if i != j:
+            if i != j and not k:    # hermitian only without a shift
                 out[j, i] = np.conj(out[i, j])
     return out
 

@@ -241,6 +241,44 @@ def cmd_scrub_ring(args):
                       "nbufs": args.nbufs, "replaced": existed}))
 
 
+def cmd_localize(args):
+    """Offline localization from a directory of voltage dumps: dataset ->
+    per-baseline phase-slope delays -> TDOA chi^2 grid fit (the
+    loc_step0-3 pipeline, ref analysis/loc_step*.py)."""
+    import numpy as np
+
+    from vlite_fast_tpu.analysis import baseband as bb
+    from vlite_fast_tpu.analysis import localization as loc
+    from vlite_fast_tpu.analysis.dataset import load_dataset
+
+    ds = load_dataset(args.dumps, sample_rate=args.sample_rate)
+    dumps = ds.aligned()
+    sids = ds.station_ids
+    if args.positions:
+        pos_map = json.load(open(args.positions))
+        positions = np.array([pos_map[str(s)] for s in sids], float)
+    else:
+        raise SystemExit("--positions file required "
+                         "(JSON {station_id: [x, y, z] meters})")
+    pairs = [(i, j) for i in range(len(sids))
+             for j in range(i + 1, len(sids))]
+    delays, weights = [], []
+    for i, j in pairs:
+        d, coh, snr = bb.baseline_delay_precise(dumps[i], dumps[j],
+                                                nfft=args.nfft)
+        delays.append(d)
+        weights.append(coh)
+        print(f"baseline {sids[i]}-{sids[j]}: delay {d*1e9:.1f} ns "
+              f"coherence {coh:.3f} lag-S/N {snr:.0f}")
+    fit = loc.fit_tdoa(positions, pairs, np.array(delays),
+                       sigma=args.sigma_ns * 1e-9)
+    print(json.dumps({"az_rad": round(fit.az, 5),
+                      "el_rad": round(fit.el, 5),
+                      "chi2": round(fit.chi2, 2),
+                      "stations": sids,
+                      "n_baselines": len(pairs)}))
+
+
 def cmd_launch(args):
     """One-command array bring-up (ref scripts/launch:5-12 +
     scripts/start_single + config/hosts): the CLI process becomes the
@@ -412,6 +450,15 @@ def main(argv=None):
     s.add_argument("--bufsz", type=int, required=True)
     s.add_argument("--nbufs", type=int, default=8)
     s.set_defaults(fn=cmd_scrub_ring)
+
+    s = sub.add_parser("localize", help="TDOA localization from dumps "
+                                        "(loc_step pipeline)")
+    s.add_argument("dumps", help="dump directory / glob / file list")
+    s.add_argument("--positions", help="JSON {station_id: [x,y,z] m}")
+    s.add_argument("--nfft", type=int, default=2500)
+    s.add_argument("--sigma-ns", type=float, default=20.0)
+    s.add_argument("--sample-rate", type=int, default=128_000_000)
+    s.set_defaults(fn=cmd_localize)
 
     s = sub.add_parser("launch", help="start leader + N station daemons "
                                       "from one array config")

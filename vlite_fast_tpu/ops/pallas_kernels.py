@@ -40,21 +40,23 @@ def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, bp_scr, *,
                 scale: float, ntt: int):
     """One (pol, channel-tile, time-tile) cell: seed + sequential EMA.
 
-    pow_ref: (1, TT, CT) power block; bp_ref: (1, CT) carry-in (used at
-    time-tile 0); bp_scr: (1, CT) VMEM scratch carrying the bandpass
-    across time tiles; out_ref: (1, TT, CT); bp_out_ref: (1, CT) final.
+    pow_ref: (1, TT, CT) power block; bp_ref: (1, 1, CT) carry-in (used
+    at time-tile 0); bp_scr: (1, CT) VMEM scratch carrying the bandpass
+    across time tiles; out_ref: (1, TT, CT); bp_out_ref: (1, 1, CT).
     """
     t_idx = pl.program_id(2)
     TT = pow_ref.shape[1]
     pblk = pow_ref[0]                      # (TT, CT)
-    bp_in = jnp.where(t_idx == 0, bp_ref[0], bp_scr[0])
+    bp_in = jnp.where(t_idx == 0, bp_ref[0, 0], bp_scr[0])
     seed = jnp.mean(pblk, axis=0)
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
 
     def body(t, bp):
-        p_t = pblk[t, :]
+        # rows read/written through the REF with pl.ds — Mosaic has no
+        # dynamic_slice on materialized values
+        p_t = pow_ref[0, pl.ds(t, 1), :][0]
         bp_n = scale * p_t + (1.0 - scale) * bp
-        out_ref[0, t, :] = p_t / bp_n - 1.0
+        out_ref[0, pl.ds(t, 1), :] = (p_t / bp_n - 1.0)[None]
         return bp_n
 
     bp_f = jax.lax.fori_loop(0, TT, body, bp0)
@@ -62,7 +64,36 @@ def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, bp_scr, *,
 
     @pl.when(t_idx == ntt - 1)
     def _():
-        bp_out_ref[0] = bp_f
+        bp_out_ref[0, 0] = bp_f
+
+
+def _tile_geometry(T: int, nchan: int, chan_tile: int, time_tile: int):
+    """(tt, ntt, ct, pad, ntile) satisfying Mosaic's block constraints on
+    TPU: the time tile must divide T and be a multiple of 8 (or T
+    itself); the channel axis is padded to a multiple of 128 and tiled in
+    128-multiples.  In interpret mode (CPU tests) the requested tiles
+    pass through unchanged."""
+    interp = _interpret()
+    tt = time_tile or T
+    tt = min(tt, T)
+    while T % tt:
+        tt -= 1
+    if not interp and tt != T and tt % 8:
+        # largest divisor of T that is a multiple of 8, else whole-T
+        cand = [d for d in range(tt, 0, -1) if T % d == 0 and d % 8 == 0]
+        tt = cand[0] if cand else T
+    ntt = T // tt
+    if interp:
+        ct = min(chan_tile, nchan)
+        pad = (-nchan) % ct
+    else:
+        pad = (-nchan) % 128
+        total = nchan + pad
+        ct = min(chan_tile - chan_tile % 128 or 128, total)
+        while total % ct:
+            ct -= 128
+    ntile = (nchan + pad) // ct
+    return tt, ntt, ct, pad, ntile
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "chan_tile",
@@ -77,36 +108,32 @@ def normalize_ema_pallas(power: jax.Array, bp: jax.Array, scale: float,
     the bandpass carries across tiles in scratch.
     """
     npol, T, nchan = power.shape
-    tt = time_tile or T
-    tt = min(tt, T)
-    while T % tt:
-        tt -= 1
-    ntt = T // tt
-    ct = min(chan_tile, nchan)
-    pad = (-nchan) % ct
+    tt, ntt, ct, pad, ntile = _tile_geometry(T, nchan, chan_tile,
+                                             time_tile)
     if pad:
         power = jnp.pad(power, ((0, 0), (0, 0), (0, pad)),
                         constant_values=1.0)
         bp = jnp.pad(bp, ((0, 0), (0, pad)), constant_values=1.0)
-    ntile = (nchan + pad) // ct
+    bp3 = bp[:, None, :]
     out, bp_new = pl.pallas_call(
         functools.partial(_ema_kernel, scale=float(scale), ntt=ntt),
         grid=(npol, ntile, ntt),
         in_specs=[
             pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
-            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
+            pl.BlockSpec((1, 1, ct), lambda i, j, t: (i, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
-            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
+            pl.BlockSpec((1, 1, ct), lambda i, j, t: (i, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(power.shape, jnp.float32),
-            jax.ShapeDtypeStruct(bp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bp3.shape, jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, ct), jnp.float32)],
         interpret=_interpret(),
-    )(power.astype(jnp.float32), bp.astype(jnp.float32))
+    )(power.astype(jnp.float32), bp3.astype(jnp.float32))
+    bp_new = bp_new[:, 0, :]
     if pad:
         out = out[:, :, :nchan]
         bp_new = bp_new[:, :nchan]
@@ -120,7 +147,7 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref,
     t_idx = pl.program_id(2)
     TT = pow_ref.shape[1]
     pblk = pow_ref[0]                      # (TT, CT)
-    wvec = w_ref[0]                        # (TT,)
+    wvec = w_ref[0, :, 0]                  # (TT,)
     good_t = wvec > 0.0
     wsafe = jnp.where(good_t, wvec, 1.0)
     pw = pblk / wsafe[:, None]
@@ -128,20 +155,23 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref,
     ngood = jnp.sum(good_t.astype(jnp.float32))
     seed_num = jnp.sum(pw, axis=0)
     seed = jnp.where(ngood > 0, seed_num / jnp.maximum(ngood, 1.0), 1.0)
-    bp_in = jnp.where(t_idx == 0, bp_ref[0], bp_scr[0])
+    bp_in = jnp.where(t_idx == 0, bp_ref[0, 0], bp_scr[0])
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
     # stale-bandpass recovery (matches ops.normalize weighted variants)
     stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
     bp0 = jnp.where(stale, seed, bp0)
 
     def body(t, bp):
-        p_t = pw[t, :]
-        g = good_t[t]
+        # per-row reads via the refs (no dynamic_slice on values)
+        w_t = w_ref[0, pl.ds(t, 1), 0][0]
+        g = w_t > 0.0
+        p_t = pow_ref[0, pl.ds(t, 1), :][0] / jnp.where(g, w_t, 1.0)
+        p_t = jnp.where(g, p_t, 0.0)
         clipped = p_t > clip_ratio * bp
         update = jnp.logical_and(g, jnp.logical_not(clipped))
         bp_n = jnp.where(update, scale * p_t + (1.0 - scale) * bp, bp)
         val = jnp.where(clipped, clip_value, p_t / bp_n - 1.0)
-        out_ref[0, t, :] = jnp.where(g, val, 0.0)
+        out_ref[0, pl.ds(t, 1), :] = jnp.where(g, val, 0.0)[None]
         return bp_n
 
     bp_f = jax.lax.fori_loop(0, TT, body, bp0)
@@ -149,7 +179,7 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref,
 
     @pl.when(t_idx == ntt - 1)
     def _():
-        bp_out_ref[0] = bp_f
+        bp_out_ref[0, 0] = bp_f
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "clip_ratio",
@@ -164,18 +194,14 @@ def normalize_ema_weighted_pallas(power: jax.Array, weights: jax.Array,
     """Drop-in for ops.normalize.normalize_ema_weighted — EXACT sequential
     semantics (no fixed-point approximation) in one memory pass."""
     npol, T, nchan = power.shape
-    tt = time_tile or T
-    tt = min(tt, T)
-    while T % tt:
-        tt -= 1
-    ntt = T // tt
-    ct = min(chan_tile, nchan)
-    pad = (-nchan) % ct
+    tt, ntt, ct, pad, ntile = _tile_geometry(T, nchan, chan_tile,
+                                             time_tile)
     if pad:
         power = jnp.pad(power, ((0, 0), (0, 0), (0, pad)),
                         constant_values=1.0)
         bp = jnp.pad(bp, ((0, 0), (0, pad)), constant_values=1.0)
-    ntile = (nchan + pad) // ct
+    bp3 = bp[:, None, :]
+    w3 = weights[:, :, None]
     out, bp_new = pl.pallas_call(
         functools.partial(_ema_weighted_kernel, scale=float(scale),
                           clip_ratio=float(clip_ratio),
@@ -183,21 +209,22 @@ def normalize_ema_weighted_pallas(power: jax.Array, weights: jax.Array,
         grid=(npol, ntile, ntt),
         in_specs=[
             pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
-            pl.BlockSpec((1, tt), lambda i, j, t: (i, t)),
-            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
+            pl.BlockSpec((1, tt, 1), lambda i, j, t: (i, t, 0)),
+            pl.BlockSpec((1, 1, ct), lambda i, j, t: (i, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, tt, ct), lambda i, j, t: (i, t, j)),
-            pl.BlockSpec((1, ct), lambda i, j, t: (i, j)),
+            pl.BlockSpec((1, 1, ct), lambda i, j, t: (i, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(power.shape, jnp.float32),
-            jax.ShapeDtypeStruct(bp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bp3.shape, jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, ct), jnp.float32)],
         interpret=_interpret(),
-    )(power.astype(jnp.float32), weights.astype(jnp.float32),
-      bp.astype(jnp.float32))
+    )(power.astype(jnp.float32), w3.astype(jnp.float32),
+      bp3.astype(jnp.float32))
+    bp_new = bp_new[:, 0, :]
     if pad:
         out = out[:, :, :nchan]
         bp_new = bp_new[:, :nchan]

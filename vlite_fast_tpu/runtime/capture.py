@@ -291,8 +291,18 @@ class UDPCapture:
                  sample_rate: int = C.VLITE_RATE, batch: int = 256,
                  wallclock_check: bool = False):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
-                             64 * 1024 * 1024)
+        # SO_RCVBUF is silently capped by net.core.rmem_max (often a few
+        # MB ~ tens of ms at the 256 MB/s wire rate); with CAP_NET_ADMIN,
+        # SO_RCVBUFFORCE (33) bypasses the cap so scheduling hiccups don't
+        # drop frames (the reference relies on PF_PACKET ring depth here)
+        want = 64 * 1024 * 1024
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, 33, want)
+        except OSError:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 want)
+        self.rcvbuf = self.sock.getsockopt(socket.SOL_SOCKET,
+                                           socket.SO_RCVBUF)
         self.sock.bind((host, port))
         self.sock.settimeout(0.5)
         self.asm = SecondAssembler(sample_rate,

@@ -33,6 +33,10 @@ class MessengerConfig:
     archive_dir: Optional[str] = None     # obsinfo/antprop file archive
     pointing_tol: float = 0.00873
     max_integration: float = 480.0
+    sources_file: Optional[str] = None    # SourceWhitelist JSON override
+    notify: Optional[object] = None       # callable(subject, body) for
+                                          # source-of-interest alerts (the
+                                          # send_email role, util.c:154)
 
 
 class Messenger:
@@ -42,6 +46,9 @@ class Messenger:
         self.metrics = Metrics()
         self.sm = ScanStateMachine(pointing_tol=cfg.pointing_tol,
                                    max_integration=cfg.max_integration)
+        from vlite_fast_tpu.runtime.sources import SourceWhitelist
+        self.sources = (SourceWhitelist.load(cfg.sources_file)
+                        if cfg.sources_file else SourceWhitelist())
         self.bus = CommandBus(port=cfg.command_port)
         self.last_antprop: Optional[vla_xml.AntPropDocument] = None
         self.alerts: List[vla_xml.AlertDocument] = []
@@ -108,6 +115,22 @@ class Messenger:
             self.log.info("command %s (scan %s, src %s)", c.name,
                           od.scan_no, od.name)
             self.bus.publish(c, od if c == Command.START else None)
+        if Command.START in cmds:
+            why = self.sources.check_observation(od)
+            if why:
+                # source-of-interest: flag for extra products + alert
+                # (the check_name/check_id/check_coords + send_email
+                # path, ref src/util.c:91-181)
+                self.log.info("SOURCE OF INTEREST: %s", why)
+                self.metrics.inc("vfast_messenger_source_of_interest")
+                if self.cfg.notify:
+                    try:
+                        self.cfg.notify(
+                            f"VLITE-fast observing {od.name}",
+                            f"{why}; scan {od.scan_no} at "
+                            f"({od.ra:.4f}, {od.dec:.4f})")
+                    except Exception as e:
+                        self.log.warning("notify failed: %s", e)
         return cmds
 
     def manual(self, cmd: Command,
