@@ -46,25 +46,26 @@ def _ema_kernel(pow_ref, bp_ref, out_ref, bp_out_ref, bp_scr, *,
     """
     t_idx = pl.program_id(2)
     TT = pow_ref.shape[1]
-    pblk = pow_ref[0]                      # (TT, CT)
-    bp_in = jnp.where(t_idx == 0, bp_ref[0, 0], bp_scr[0])
-    seed = jnp.mean(pblk, axis=0)
+    # every value stays 2-D: Mosaic's vector-layout inference asserts on
+    # 1-D vectors flowing through loop carries (layout.h join check)
+    bp_in = jnp.where(t_idx == 0, bp_ref[0], bp_scr[:, :])    # (1, CT)
+    seed = jnp.mean(pow_ref[0], axis=0, keepdims=True)        # (1, CT)
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
 
     def body(t, bp):
         # rows read/written through the REF with pl.ds — Mosaic has no
         # dynamic_slice on materialized values
-        p_t = pow_ref[0, pl.ds(t, 1), :][0]
+        p_t = pow_ref[0, pl.ds(t, 1), :]                      # (1, CT)
         bp_n = scale * p_t + (1.0 - scale) * bp
-        out_ref[0, pl.ds(t, 1), :] = (p_t / bp_n - 1.0)[None]
+        out_ref[0, pl.ds(t, 1), :] = p_t / bp_n - 1.0
         return bp_n
 
     bp_f = jax.lax.fori_loop(0, TT, body, bp0)
-    bp_scr[0] = bp_f
+    bp_scr[:, :] = bp_f
 
     @pl.when(t_idx == ntt - 1)
     def _():
-        bp_out_ref[0, 0] = bp_f
+        bp_out_ref[0] = bp_f
 
 
 def _tile_geometry(T: int, nchan: int, chan_tile: int, time_tile: int):
@@ -146,16 +147,16 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref,
     """Weighted/clipped variant (detect_and_normalize3 semantics)."""
     t_idx = pl.program_id(2)
     TT = pow_ref.shape[1]
+    # 2-D everywhere (see _ema_kernel note on Mosaic 1-D layouts)
     pblk = pow_ref[0]                      # (TT, CT)
-    wvec = w_ref[0, :, 0]                  # (TT,)
-    good_t = wvec > 0.0
-    wsafe = jnp.where(good_t, wvec, 1.0)
-    pw = pblk / wsafe[:, None]
-    pw = jnp.where(good_t[:, None], pw, 0.0)
+    wcol = w_ref[0]                        # (TT, 1)
+    good_t = wcol > 0.0                    # (TT, 1)
+    wsafe = jnp.where(good_t, wcol, 1.0)
+    pw = jnp.where(good_t, pblk / wsafe, 0.0)
     ngood = jnp.sum(good_t.astype(jnp.float32))
-    seed_num = jnp.sum(pw, axis=0)
+    seed_num = jnp.sum(pw, axis=0, keepdims=True)             # (1, CT)
     seed = jnp.where(ngood > 0, seed_num / jnp.maximum(ngood, 1.0), 1.0)
-    bp_in = jnp.where(t_idx == 0, bp_ref[0, 0], bp_scr[0])
+    bp_in = jnp.where(t_idx == 0, bp_ref[0], bp_scr[:, :])    # (1, CT)
     bp0 = jnp.where(bp_in == 0.0, seed, bp_in)
     # stale-bandpass recovery (matches ops.normalize weighted variants)
     stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
@@ -163,23 +164,23 @@ def _ema_weighted_kernel(pow_ref, w_ref, bp_ref, out_ref, bp_out_ref,
 
     def body(t, bp):
         # per-row reads via the refs (no dynamic_slice on values)
-        w_t = w_ref[0, pl.ds(t, 1), 0][0]
-        g = w_t > 0.0
-        p_t = pow_ref[0, pl.ds(t, 1), :][0] / jnp.where(g, w_t, 1.0)
-        p_t = jnp.where(g, p_t, 0.0)
+        w_t = w_ref[0, pl.ds(t, 1), :]                        # (1, 1)
+        g = w_t > 0.0                                         # (1, 1)
+        p_t = pow_ref[0, pl.ds(t, 1), :] / jnp.where(g, w_t, 1.0)
+        p_t = jnp.where(g, p_t, 0.0)                          # (1, CT)
         clipped = p_t > clip_ratio * bp
         update = jnp.logical_and(g, jnp.logical_not(clipped))
         bp_n = jnp.where(update, scale * p_t + (1.0 - scale) * bp, bp)
         val = jnp.where(clipped, clip_value, p_t / bp_n - 1.0)
-        out_ref[0, pl.ds(t, 1), :] = jnp.where(g, val, 0.0)[None]
+        out_ref[0, pl.ds(t, 1), :] = jnp.where(g, val, 0.0)
         return bp_n
 
     bp_f = jax.lax.fori_loop(0, TT, body, bp0)
-    bp_scr[0] = bp_f
+    bp_scr[:, :] = bp_f
 
     @pl.when(t_idx == ntt - 1)
     def _():
-        bp_out_ref[0, 0] = bp_f
+        bp_out_ref[0] = bp_f
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "clip_ratio",
