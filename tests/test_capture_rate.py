@@ -181,3 +181,64 @@ def test_udp_drain_batch_receive():
     assert rx.asm.stats.skipped >= 2        # the dropped frames
     assert rx.asm.stats.anomalous >= 1      # the runt datagram
     assert len(done) >= 1
+
+
+def test_station_daemon_aborts_on_capture_fault():
+    """The fail-fast rails end a live observation (writer.c:663-672):
+    a frame stream with a catastrophic gap rate must terminate
+    _udp_seconds rather than stream zeros forever."""
+    import socket as sk
+
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.runtime.station_main import StationDaemon
+
+    d = StationDaemon(97, PipelineConfig.tiny(), SearchConfig.tiny(),
+                      out_dir="/tmp/vfast_abort_test",
+                      command_port=None, coincidencer=None,
+                      trigger_port=None)
+    try:
+        gen = d._udp_seconds(0)        # binds an ephemeral port? no: 0
+    except OSError:
+        d.shutdown()
+        pytest.skip("cannot bind")
+    # _udp_seconds binds inside; grab the socket via the generator's frame
+    # by priming it in a thread while we feed packets
+    import threading
+    got = []
+
+    def run():
+        for item in gen:
+            got.append(item)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    time.sleep(0.3)
+    # find the UDP port the generator bound (from the daemon's capture)
+    import gc
+    port = None
+    deadline = time.time() + 3
+    while port is None and time.time() < deadline:
+        for obj in gc.get_objects():
+            if isinstance(obj, capture.UDPCapture):
+                try:
+                    if obj.sock.getsockname()[1] != 0:
+                        port = obj.sock.getsockname()[1]
+                        obj.asm.stats.skip_abort = 50    # fast threshold
+                except OSError:
+                    pass
+        time.sleep(0.1)
+    assert port is not None
+    tx = sk.socket(sk.AF_INET, sk.SOCK_DGRAM)
+    rate = 1_000_000
+    samples = np.random.default_rng(0).integers(
+        1, 255, (2, rate), dtype=np.uint8)
+    stream = vdif.streams_to_frames(samples, ref_epoch=10,
+                                    start_second=100, sample_rate=rate)
+    frames = stream.reshape(-1, C.VDIF_FRAME_BYTES)
+    # send every 5th frame: 80% loss -> skip counter rockets
+    for f in frames[::5]:
+        tx.sendto(f.tobytes(), ("127.0.0.1", port))
+    th.join(timeout=10)
+    tx.close()
+    assert not th.is_alive(), "observation did not abort on fault"
+    d.shutdown()

@@ -274,8 +274,16 @@ class StationPipeline:
             stop = min(self._searched_to + gulp + overlap, total)
             packed = self._fb.window(self._searched_to, stop)
             # packed bytes go to the device as-is; dequantize in-graph
-            out.extend(self.search.search_gulp_packed(
-                packed, self.cfg.nbit, t_offset=self._searched_to))
+            found = self.search.search_gulp_packed(
+                packed, self.cfg.nbit, t_offset=self._searched_to)
+            out.extend(found)
+            if found:
+                # gulp-bound candidate latency in data time (the
+                # reference documents 40-50 s, trigger.py:164-166)
+                lat = max((stop * self.cfg.tsamp) - c.peak_time
+                          for c in found)
+                self.metrics.set("vfast_cand_latency_data_s",
+                                 round(lat, 2))
             self._searched_to += min(gulp, packed.shape[0] - overlap)
             self._fb.prune(self._searched_to)
             if flush and total - self._searched_to <= overlap + 64:

@@ -131,11 +131,18 @@ class StationDaemon:
 
     def _udp_seconds(self, port: int):
         udp = cap.UDPCapture(port=port,
-                             sample_rate=self.pipeline.cfg.sample_rate)
+                             sample_rate=self.pipeline.cfg.sample_rate,
+                             wallclock_check=True)
         try:
             idle = 0
             while not self._stop.is_set():
                 done = udp.poll()
+                # fail fast: the escalating capture counters end the
+                # observation (writer.c:616-727 abort semantics)
+                reason = udp.asm.stats.abort_reason()
+                if reason is not None:
+                    self.log.error("aborting observation: %s", reason)
+                    return
                 if not done:
                     idle += 1
                     if idle > 100:   # ~50 s of silence ends the obs
@@ -144,6 +151,9 @@ class StationDaemon:
                 idle = 0
                 for sec, buf in done:
                     yield sec, buf
+                if self.pipeline.ring is not None and \
+                        self.pipeline.ring.dropped > 0:
+                    udp.asm.stats.ring_full = True
                 # STOP/QUIT between seconds
                 for cmd, _ in (self.cmd.poll() if self.cmd else []):
                     if cmd in (Command.STOP, Command.QUIT,
