@@ -27,31 +27,46 @@ from vlite_fast_tpu.runtime.ring import RingBuffer
 from vlite_fast_tpu.utils import vdif
 
 
-def sender_proc(port: int, nsec: int, fps_total: int):
-    """Child: send nsec * fps_total frames as fast as the wire rate."""
+def build_frames(nsec: int):
+    """Built ONCE in the parent before forking (COW-shared): frame
+    synthesis of a full second costs seconds and must not eat into the
+    measured window.  Returns one contiguous byte stream per second."""
     rate = C.VLITE_RATE
     samples = np.random.default_rng(0).integers(
         1, 255, (2, rate), dtype=np.uint8)
-    frames = []
-    for sec in range(nsec):
-        stream = vdif.streams_to_frames(samples, ref_epoch=10,
-                                        start_second=100 + sec,
-                                        sample_rate=rate)
-        frames.append(stream.reshape(-1, C.VDIF_FRAME_BYTES))
+    return [vdif.streams_to_frames(samples, ref_epoch=10,
+                                   start_second=100 + sec,
+                                   sample_rate=rate)
+            for sec in range(nsec)]
+
+
+def sender_proc(port: int, frames, fps_total: int, lib):
+    """Child: blast the prebuilt frames at the wire rate via sendmmsg
+    (csrc udp_blast — a Python sendto loop tops out ~44k/s, below the
+    51,200/s wire rate)."""
+    import ctypes
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     tx.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 64 << 20)
-    addr = ("127.0.0.1", port)
+    tx.connect(("127.0.0.1", port))
+    fb = C.VDIF_FRAME_BYTES
     t0 = time.perf_counter()
     sent = 0
-    for sec_frames in frames:
-        sec_t0 = time.perf_counter()
-        for i in range(0, len(sec_frames), 64):
-            for f in sec_frames[i:i + 64]:
-                tx.sendto(f.tobytes(), addr)
-                sent += 1
-            # pace to ~wire rate so the receiver's 64 MB buffer holds
+    for stream in frames:
+        nf = stream.size // fb
+        off = 0
+        while off < nf:
+            chunk = min(512, nf - off)
+            k = lib.udp_blast(
+                tx.fileno(),
+                stream[off * fb:].ctypes.data_as(ctypes.c_void_p),
+                fb, chunk)
+            if k <= 0:
+                time.sleep(0.001)
+                continue
+            off += k
+            sent += k
             ahead = sent / fps_total - (time.perf_counter() - t0)
-            if ahead > 0.05:
+            if ahead > 0.02:
                 time.sleep(ahead)
     dt = time.perf_counter() - t0
     os.write(2, f"sender: {sent} frames in {dt:.2f}s "
@@ -64,7 +79,7 @@ def main():
     nsec = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     fps_total = int(sys.argv[2]) if len(sys.argv) > 2 else 2 * C.FRAMES_PER_SEC
 
-    rx = capture.UDPCapture(port=0, sample_rate=C.VLITE_RATE, batch=512)
+    rx = capture.UDPCapture(port=0, sample_rate=C.VLITE_RATE, batch=1024)
     assert rx._lib is not None, "netcap helper missing"
     port = rx.sock.getsockname()[1]
     ring = RingBuffer("/vfast_udp_soak", bufsz=2 * C.VLITE_RATE, nbufs=2,
@@ -72,24 +87,28 @@ def main():
     warm = np.zeros(2 * C.VLITE_RATE, np.uint8)
     for _ in range(2):
         ring.write(warm, timestamp=0.0, overwrite=True)
+    frames = build_frames(nsec)
 
     pid = os.fork()
     if pid == 0:
-        sender_proc(port, nsec, fps_total)
+        sender_proc(port, frames, fps_total, rx._lib)
 
     total_frames = nsec * fps_total
     done_secs = 0
     t0 = time.perf_counter()
+    t_first = None                   # active window starts at first frame
     deadline = t0 + nsec + 15
     while time.perf_counter() < deadline:
-        for sec, buf in rx.poll(max_frames=512):
+        for sec, buf in rx.poll(max_frames=1024):
             ring.write(buf.reshape(-1), timestamp=float(sec),
                        overwrite=True)
             done_secs += 1
         got = rx.asm.stats.frames + rx.asm.stats.skipped
+        if got and t_first is None:
+            t_first = time.perf_counter()
         if got >= total_frames - rx.asm.frames_per_sec:
             break
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - (t_first or t0)
     os.waitpid(pid, 0)
     st = rx.asm.stats
     rx.close()

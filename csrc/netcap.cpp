@@ -73,4 +73,33 @@ int64_t udp_drain(int fd, void* buf, uint64_t frame_bytes,
   return (int64_t)kept;
 }
 
+// Batched UDP send: blast `n` frames of frame_bytes each from the
+// contiguous buffer over a CONNECTED datagram socket via sendmmsg.
+// Returns frames sent (may be < n on EAGAIN), -1 on error.  Test-side
+// counterpart of udp_drain: a Python sendto loop tops out well below the
+// 51,200 frames/s wire rate, which would bound any loopback soak.
+int64_t udp_blast(int fd, const void* buf, uint64_t frame_bytes,
+                  uint64_t n) {
+  constexpr unsigned CHUNK = 64;
+  static thread_local mmsghdr msgs[CHUNK];
+  static thread_local iovec iovs[CHUNK];
+  const char* p = (const char*)buf;
+  uint64_t sent = 0;
+  while (sent < n) {
+    unsigned want = n - sent < CHUNK ? (unsigned)(n - sent) : CHUNK;
+    for (unsigned i = 0; i < want; ++i) {
+      iovs[i].iov_base = (void*)(p + (sent + i) * frame_bytes);
+      iovs[i].iov_len = frame_bytes;
+      memset(&msgs[i].msg_hdr, 0, sizeof(msghdr));
+      msgs[i].msg_hdr.msg_iov = &iovs[i];
+      msgs[i].msg_hdr.msg_iovlen = 1;
+    }
+    int k = sendmmsg(fd, msgs, want, 0);
+    if (k < 0) return sent ? (int64_t)sent : -1;
+    sent += k;
+    if ((unsigned)k < want) break;  // backpressure
+  }
+  return (int64_t)sent;
+}
+
 }  // extern "C"

@@ -65,6 +65,9 @@ def get_lib() -> ctypes.CDLL:
                                 ctypes.POINTER(ctypes.c_uint64)]
     lib.rb_slot_timestamp.restype = ctypes.c_double
     lib.rb_slot_timestamp.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.udp_blast.restype = ctypes.c_int64
+    lib.udp_blast.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                              ctypes.c_uint64, ctypes.c_uint64]
     lib.udp_drain.restype = ctypes.c_int64
     lib.udp_drain.argtypes = [ctypes.c_int, ctypes.c_void_p,
                               ctypes.c_uint64, ctypes.c_uint64,
