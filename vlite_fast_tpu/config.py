@@ -48,9 +48,14 @@ class PipelineConfig:
     ema_impl: str = "assoc"        # 'assoc' (log-depth scan) | 'scan'
                                    # (sequential lax.scan) | 'pallas'
                                    # (one-pass VMEM kernel, run once per
-                                   # second OUTSIDE the segment scan —
-                                   # the Mosaic nested-scan lowering bug
-                                   # workaround; exact parity with 'scan')
+                                   # second OUTSIDE the segment scan).
+                                   # MEASURED on-chip: assoc 4.79x RT vs
+                                   # pallas 3.30x — hoisting the EMA out
+                                   # of the scan breaks XLA's detect->
+                                   # EMA->scrunch fusion and costs ~2 GB
+                                   # of extra HBM round trips per second,
+                                   # outweighing the one-pass saving.
+                                   # assoc stays default by measurement.
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
                                    # | 'pfb' (streaming WOLA polyphase;
                                    # sharper channel response; works with
