@@ -1,0 +1,52 @@
+"""Validate + time the PRODUCTION search configuration on the chip:
+tolerance-driven DM grid (heimdall -dm_tol semantics, ~4.9k trials) with
+the Pallas shift-and-sum engine at full gulp geometry."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from vlite_fast_tpu import constants as Cst
+from vlite_fast_tpu.config import SearchConfig, PipelineConfig
+from vlite_fast_tpu.models import search as sm
+from vlite_fast_tpu.ops import dedisperse as dd
+from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+
+cfg = PipelineConfig()
+scfg = SearchConfig()            # production default: dm_grid_mode='tol'
+freqs = Cst.channel_freqs_mhz()[Cst.CHANMIN:Cst.CHANMAX + 1]
+dms = sm.make_dm_grid(scfg, cfg.tsamp, freqs)
+print("tol grid:", len(dms), "trials", flush=True)
+plan = dd.make_plan(dms, freqs, cfg.tsamp, nsub=128, nbatch=128,
+                    zap_ranges=scfg.zap_ranges)
+print("per_batch:", len(dms) // plan.rel_delays.shape[0],
+      "max_delay:", plan.max_delay, flush=True)
+dev = jax.devices()[0]
+rng = np.random.default_rng(1)
+fb = jax.device_put(rng.standard_normal(
+    (scfg.gulp_samps + plan.max_delay, Cst.NCHANOUT)).astype(np.float32), dev)
+t0 = time.perf_counter()
+out = ddp.dedisperse_pallas(fb, plan, scfg.gulp_samps)
+s = float(jnp.sum(out))
+print("compile+run:", round(time.perf_counter() - t0, 1), "s", flush=True)
+t0 = time.perf_counter()
+for _ in range(3):
+    out = ddp.dedisperse_pallas(fb, plan, scfg.gulp_samps)
+    s = float(jnp.sum(out))
+dt = (time.perf_counter() - t0) / 3
+gulp_s = scfg.gulp_samps * cfg.tsamp
+print(f"tol-grid gulp: {dt:.3f} s ({len(dms)} DM x 4096 chan x 24 s)"
+      f" -> {gulp_s/dt:.1f}x RT", flush=True)
+# oracle spot check on a slice (full oracle too slow): one random DM row
+idm = 2345
+full = dd.delay_table(dms[idm:idm+1], freqs, cfg.tsamp)
+ref = dd.dedisperse_reference(np.asarray(fb), full, scfg.gulp_samps,
+                              chan_weights=np.asarray(plan.chan_weights))
+approx = np.asarray(out[idm])
+err = np.abs(approx[:1000] - ref[0][:1000]).mean() / np.abs(ref[0][:1000]).mean()
+print("row", idm, "mean rel err vs exact oracle:", round(float(err), 4),
+      "(subband approximation bound)", flush=True)
