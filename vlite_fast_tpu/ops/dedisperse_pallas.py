@@ -74,21 +74,18 @@ def _shifted_read(read_rows, d, nrows):
 def _stage1_kernel(rel_ref, fb_ref, y_ref, *, nr1: int):
     """One (subband, DM-batch) cell: y[b, s, :] = sum_ch fb[ch, t + rel].
 
-    rel_ref: (1, 1, 1, w) SMEM int32; fb_ref: (w, NRin, LANE) VMEM (f32
-    or bf16 — bf16 halves the vector-register traffic of the rolls, the
-    dominant stage-1 cost); y_ref: (1, 1, NR1, LANE) VMEM, same dtype.
-    The accumulator stays float32 either way.
+    rel_ref: (1, 1, 1, w) SMEM int32; fb_ref: (w, NRin, LANE) VMEM;
+    y_ref: (1, 1, NR1, LANE) VMEM.
     """
     w = fb_ref.shape[0]
 
     def body(ch, acc):
         read = lambda q: fb_ref[pl.ds(ch, 1), pl.ds(q, nr1), :][0]
-        v = _shifted_read(read, rel_ref[0, 0, 0, ch], nr1)
-        return acc + v.astype(jnp.float32)
+        return acc + _shifted_read(read, rel_ref[0, 0, 0, ch], nr1)
 
     acc = jax.lax.fori_loop(0, w, body,
                             jnp.zeros((nr1, LANE), jnp.float32))
-    y_ref[0, 0] = acc.astype(y_ref.dtype)
+    y_ref[0, 0] = acc
 
 
 def _stage2_kernel(subd_ref, y_ref, out_ref, *, nrout: int, per_batch: int,
@@ -112,8 +109,8 @@ def _stage2_kernel(subd_ref, y_ref, out_ref, *, nrout: int, per_batch: int,
     def dm_body(dm, _):
         def body(s, acc):
             read = lambda q: y_ref[0, pl.ds(s, 1), pl.ds(q, nrout), :][0]
-            v = _shifted_read(read, subd_ref[0, 0, dm, s], nrout)
-            return acc + v.astype(jnp.float32)
+            return acc + _shifted_read(read, subd_ref[0, 0, dm, s],
+                                       nrout)
 
         acc = jax.lax.fori_loop(0, sc, body,
                                 jnp.zeros((nrout, LANE), jnp.float32))
@@ -124,21 +121,13 @@ def _stage2_kernel(subd_ref, y_ref, out_ref, *, nrout: int, per_batch: int,
     jax.lax.fori_loop(0, per_batch, dm_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("ntime_out", "sub_chunk",
-                                             "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("ntime_out", "sub_chunk"))
 def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
-                      sub_chunk: int = 16,
-                      compute_dtype: str = "float32") -> jax.Array:
+                      sub_chunk: int = 16) -> jax.Array:
     """fb: (ntime, nchan) float32, ntime >= ntime_out + plan.max_delay.
     Returns (ndm, ntime_out) float32 DM-time plane (channel-summed,
     zapped channels excluded), identical in semantics to
     ops.dedisperse.dedisperse.
-
-    compute_dtype='bfloat16' stores the folded filterbank and the stage-1
-    intermediate in bf16 (accumulation stays f32): halves the dominant
-    roll/select vector traffic and the 1.2 GB intermediate.  Relative
-    error vs f32 is ~1e-3 on 2-bit-quantized data — far inside the
-    search's quantization/noise budget.
     """
     ntime, nchan = fb.shape
     nsub = plan.nsub
@@ -161,9 +150,7 @@ def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
     if pad < 0:
         fbz = fbz[:nrin * LANE]
         pad = 0
-    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    fbf = jnp.pad(fbz, ((0, pad), (0, 0))).T.reshape(
-        nchan, nrin, LANE).astype(cdt)
+    fbf = jnp.pad(fbz, ((0, pad), (0, 0))).T.reshape(nchan, nrin, LANE)
 
     rel = plan.rel_delays.reshape(nbatch, nsub, 1, w).astype(jnp.int32)
     # grid (nsub, nbatch): batch innermost so the fb subband block stays
@@ -178,7 +165,8 @@ def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
         ],
         out_specs=pl.BlockSpec((1, 1, nr1, LANE),
                                lambda s, b: (b, s, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nbatch, nsub, nr1, LANE), cdt),
+        out_shape=jax.ShapeDtypeStruct((nbatch, nsub, nr1, LANE),
+                                       jnp.float32),
         interpret=_interpret(),
     )(rel, fbf)
 
