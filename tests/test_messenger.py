@@ -105,3 +105,35 @@ def test_messenger_source_of_interest_alert():
         name="J9999+99", ra=2.0, dec=0.1, scan_no=3, start_time=1e9))
     assert len(hits) == 1
     m.shutdown()
+
+
+def test_leader_manual_port():
+    """The messenger -m telnet role (ref messenger.c:389-414): one-char
+    commands over TCP drive the bus."""
+    import socket
+    import time as _t
+
+    from vlite_fast_tpu.config import ArrayConfig
+    from vlite_fast_tpu.runtime.control import Command
+    from vlite_fast_tpu.runtime.leader_main import Leader
+
+    acfg = ArrayConfig.tiny(nant=2, command_port=23501,
+                            coincidencer_port=23555,
+                            trigger_port_base=23600)
+    leader = Leader(acfg, "/tmp/vfast_leader_test", manual_port=23510)
+    try:
+        seen = []
+        leader.messenger.bus.subscribe(lambda c, od: seen.append(c))
+        with socket.create_connection(("127.0.0.1", 23510), timeout=5) as s:
+            s.sendall(b"F\n")
+        deadline = _t.time() + 5
+        while not seen and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert seen == [Command.FAKE_START]
+        # unknown command must not kill the leader
+        with socket.create_connection(("127.0.0.1", 23510), timeout=5) as s:
+            s.sendall(b"Z\n")
+        _t.sleep(0.3)
+        assert leader._running
+    finally:
+        leader.shutdown()
