@@ -448,32 +448,33 @@ def cluster_hits(hits: np.ndarray, vals: np.ndarray, dms: np.ndarray,
     hi = hits[:, 2] + 1
     dmi = hits[:, 1]
 
-    # neighbor search bucketed by DM band: a hit links only within its
-    # own and adjacent dm_link-wide bands, so the quadratic pass stays
-    # local even in storms
+    # Link DM trials d and d+delta (delta <= dm_link) with one sweep-line
+    # pass over their merged lo-sorted hit lists.  Within such a pair
+    # EVERY hit pair already satisfies the DM cut, so time-overlap runs
+    # (lo[i] < max-hi-of-run + time_gap) give the exact transitive
+    # closure of the pairwise predicate with O(n * dm_link) union calls —
+    # a dense blob (one pulse lighting 20k crossings) clusters in ~0.1 s
+    # where the previous per-pair check was quadratic (~1 min).
     uf = _UnionFind(n)
     order = np.argsort(lo, kind="stable")
-    band_of = dmi // max(dm_link, 1)
-    buckets: dict = {}
+    by_trial: dict = {}
     for idx in order:
-        buckets.setdefault(int(band_of[idx]), []).append(int(idx))
-    for band, members in buckets.items():
-        for nb in (band, band + 1):
-            other = buckets.get(nb)
-            if other is None:
+        by_trial.setdefault(int(dmi[idx]), []).append(int(idx))
+    for d, members in by_trial.items():
+        for delta in range(0, dm_link + 1):
+            other = by_trial.get(d + delta)
+            if other is None or (delta == 0 and len(members) < 2):
                 continue
-            j0 = 0
-            for i in members:
-                # advance past intervals that end before ours starts
-                while j0 < len(other) and hi[other[j0]] + time_gap <= lo[i]:
-                    j0 += 1
-                for j in other[j0:]:
-                    if lo[j] >= hi[i] + time_gap:
-                        break
-                    if j == i:
-                        continue
-                    if abs(int(dmi[i]) - int(dmi[j])) <= dm_link:
-                        uf.union(i, j)
+            merged = members if delta == 0 else sorted(
+                members + other, key=lambda i: lo[i])
+            run_rep, run_hi = merged[0], hi[merged[0]]
+            for i in merged[1:]:
+                if lo[i] < run_hi + time_gap:
+                    uf.union(run_rep, i)
+                    if hi[i] > run_hi:
+                        run_hi = int(hi[i])
+                else:
+                    run_rep, run_hi = i, int(hi[i])
 
     clusters: dict = {}
     for i in range(n):

@@ -74,6 +74,77 @@ class GulpStream:
             self.blocks.pop(0)
 
 
+class DeviceGulpStream:
+    """Device-side mirror of GulpStream.
+
+    The jitted chain PRODUCES the quantized filterbank on the accelerator;
+    keeping those block handles alive lets the gulp search read them in
+    place (SinglePulseSearch.search_gulp_device) instead of re-uploading
+    ~38 MB of packed bytes per production gulp.  Windows are only served
+    when they start exactly on a stored block boundary — true for every
+    steady-state gulp when gulp_samps is a multiple of the per-second
+    output length — so sliced shapes stay static and the search compiles
+    once.  Misaligned requests return None and the caller falls back to
+    the host-byte path (ragged flush tails, tiny test geometries).
+    """
+
+    def __init__(self):
+        self.blocks: List = []
+        self.start = 0          # absolute sample index of blocks[0][0]
+
+    @property
+    def total(self) -> int:
+        return self.start + sum(int(b.shape[0]) for b in self.blocks)
+
+    def append(self, block) -> None:
+        self.blocks.append(block)
+
+    def window(self, start: int, stop: int):
+        off = self.start
+        if start < off:
+            return None
+        i = 0
+        while (i < len(self.blocks)
+               and off + int(self.blocks[i].shape[0]) <= start):
+            off += int(self.blocks[i].shape[0])
+            i += 1
+        if off != start:        # not boundary-aligned: host path instead
+            return None
+        parts, have = [], 0
+        j = i
+        while j < len(self.blocks) and have < stop - start:
+            parts.append(self.blocks[j])
+            have += int(self.blocks[j].shape[0])
+            j += 1
+        if have < stop - start:
+            return None
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                               axis=0)
+        return cat[:stop - start]
+
+    def host_window(self, start: int, stop: int) -> np.ndarray:
+        """Fetch [start, stop) to host (flush tails, misaligned fallback —
+        rare paths; steady-state gulps never leave the device)."""
+        parts = []
+        off = self.start
+        for blk in self.blocks:
+            n = int(blk.shape[0])
+            lo, hi = max(start - off, 0), min(stop - off, n)
+            if lo < hi:
+                parts.append(np.asarray(blk)[lo:hi])
+            off += n
+            if off >= stop:
+                break
+        return (np.concatenate(parts, axis=0) if len(parts) != 1
+                else parts[0])
+
+    def prune(self, keep_from: int) -> None:
+        while self.blocks and (
+                self.start + int(self.blocks[0].shape[0]) <= keep_from):
+            self.start += int(self.blocks[0].shape[0])
+            self.blocks.pop(0)
+
+
 @dataclass
 class ObservationProducts:
     fil_path: Optional[str]
@@ -114,6 +185,7 @@ class StationPipeline:
         self._weights_accum: List[np.ndarray] = []
         self.state = dsp.init_state(cfg)
         self._fb = GulpStream()
+        self._fb_dev = DeviceGulpStream()
         self._searched_to = 0
         self._pending = None   # device handle of the last second's output
         self._out_samps_per_sec = cfg.seg_per_sec * cfg.out_samps_per_seg
@@ -161,6 +233,7 @@ class StationPipeline:
                           search_live: bool = True) -> None:
         self.state = dsp.init_state(self.cfg)  # EMA reseeds per obs
         self._fb, self._searched_to = GulpStream(), 0
+        self._fb_dev = DeviceGulpStream()
         self._pending = None
         self._weights_accum = []
         self._histo_accum = None
@@ -203,6 +276,13 @@ class StationPipeline:
         # second's device result is fetched and post-processed while this
         # second's dispatch computes asynchronously
         pending_new = out.packed_kur if cfg.rfi_mode else out.packed
+        if self._fil is not None or self.block_taps:
+            try:
+                # start the D2H copy now so it overlaps the next second's
+                # device compute; _drain's np.asarray then finds it done
+                pending_new.copy_to_host_async()
+            except AttributeError:
+                pass
         if self.write_kurto:
             self._weights_accum.append(np.asarray(out.weights))
         if cfg.do_histo and out.histo is not None and out.histo.size:
@@ -249,13 +329,18 @@ class StationPipeline:
             start_unix=self._t0_unix or 0.0)
 
     def _drain(self, packed_dev) -> None:
-        packed = np.asarray(packed_dev)
-        if self._fil is not None:
-            self._fil.write_block(packed)
-        offset = self._fb.total
-        self._fb.append(packed)
-        for tap in self.block_taps:
-            tap(self.station_id, offset, packed)
+        self._fb_dev.append(packed_dev)   # device handle: in-place search
+        if self._fil is not None or self.block_taps:
+            # host bytes are only pulled when a host consumer exists
+            # (.fil writer / coadd taps); the search reads the device
+            # copy in place
+            packed = np.asarray(packed_dev)
+            if self._fil is not None:
+                self._fil.write_block(packed)
+            offset = self._fb.total
+            self._fb.append(packed)
+            for tap in self.block_taps:
+                tap(self.station_id, offset, packed)
         if self._search_live:
             self._cands.extend(self._search_ready())
 
@@ -267,15 +352,28 @@ class StationPipeline:
         O(observation so far)."""
         gulp = self.scfg.gulp_samps
         overlap = self.search.overlap
-        total = self._fb.total
+        total = max(self._fb.total, self._fb_dev.total)
         out: List[dd.Candidate] = []
         while total - self._searched_to >= gulp + overlap or (
                 flush and total - self._searched_to > overlap + 64):
             stop = min(self._searched_to + gulp + overlap, total)
-            packed = self._fb.window(self._searched_to, stop)
-            # packed bytes go to the device as-is; dequantize in-graph
-            found = self.search.search_gulp_packed(
-                packed, self.cfg.nbit, t_offset=self._searched_to)
+            nrows = stop - self._searched_to
+            dev_win = (self._fb_dev.window(self._searched_to, stop)
+                       if nrows == gulp + overlap else None)
+            if dev_win is not None:
+                # filterbank bytes never left the device: search in place
+                found = self.search.search_gulp_device(
+                    dev_win, self.cfg.nbit, t_offset=self._searched_to,
+                    nvalid=gulp)
+            else:
+                # flush tails / misaligned windows: host path (bytes go
+                # to the device as-is; dequantize in-graph)
+                packed = (self._fb.window(self._searched_to, stop)
+                          if self._fb.total >= stop
+                          else self._fb_dev.host_window(
+                              self._searched_to, stop))
+                found = self.search.search_gulp_packed(
+                    packed, self.cfg.nbit, t_offset=self._searched_to)
             out.extend(found)
             if found:
                 # gulp-bound candidate latency in data time (the
@@ -284,8 +382,9 @@ class StationPipeline:
                           for c in found)
                 self.metrics.set("vfast_cand_latency_data_s",
                                  round(lat, 2))
-            self._searched_to += min(gulp, packed.shape[0] - overlap)
+            self._searched_to += min(gulp, nrows - overlap)
             self._fb.prune(self._searched_to)
+            self._fb_dev.prune(self._searched_to)
             if flush and total - self._searched_to <= overlap + 64:
                 break
         return out
