@@ -195,6 +195,24 @@ class TestJoinDumps:
         np.testing.assert_array_equal(
             np.fromfile(out, np.uint8), stream)
 
+    def test_cli(self, tmp_path, capsys):
+        from vlite_fast_tpu import cli
+        rate = 25_000
+        samples = np.random.default_rng(5).integers(
+            1, 255, (2, rate), dtype=np.uint8)
+        stream = vdif.streams_to_frames(samples, 40, 70, sample_rate=rate)
+        half = stream.size // 2
+        half -= half % C.VDIF_FRAME_BYTES
+        (tmp_path / "p1.vdif").write_bytes(stream[half:].tobytes())
+        (tmp_path / "p0.vdif").write_bytes(stream[:half].tobytes())
+        out = tmp_path / "j.vdif"
+        cli.main(["join-dumps", str(tmp_path / "p1.vdif"),
+                  str(tmp_path / "p0.vdif"), "-o", str(out)])
+        import json as _json
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["out"] == str(out) and not rep["corrupted"]
+        np.testing.assert_array_equal(np.fromfile(out, np.uint8), stream)
+
 
 class TestWatchdog:
     def test_escalating_counter(self):

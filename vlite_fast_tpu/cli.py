@@ -23,6 +23,8 @@ import sys
 
 import numpy as np
 
+from vlite_fast_tpu import constants as C
+
 
 def cmd_synth(args):
     from vlite_fast_tpu.models import synthesis
@@ -112,6 +114,18 @@ def cmd_unwrap(args):
     print(json.dumps({"nframes": rep.nframes, "clean": rep.clean,
                       "corrupted": rep.corrupted,
                       "wrap_frame": rep.wrap_frame,
+                      "discontinuities": list(rep.discontinuities)}))
+    if rep.corrupted:
+        sys.exit(1)
+
+
+def cmd_join_dumps(args):
+    """Join per-event dump segments into one time-ordered stream (the
+    scripts/join_dumps.py role; ref scripts/join_dumps.py:1-40)."""
+    from vlite_fast_tpu.analysis.unwrap import join_dumps
+    rep = join_dumps(args.vdif, args.out, frames_per_sec=args.frames_per_sec)
+    print(json.dumps({"out": args.out, "nframes": rep.nframes,
+                      "clean": rep.clean, "corrupted": rep.corrupted,
                       "discontinuities": list(rep.discontinuities)}))
     if rep.corrupted:
         sys.exit(1)
@@ -413,6 +427,13 @@ def main(argv=None):
     s = sub.add_parser("unwrap", help="check/repair dump continuity")
     s.add_argument("vdif")
     s.set_defaults(fn=cmd_unwrap)
+
+    s = sub.add_parser("join-dumps", help="join dump segments in time order")
+    s.add_argument("vdif", nargs="+")
+    s.add_argument("-o", "--out", required=True)
+    s.add_argument("--frames-per-sec", type=int,
+                   default=C.FRAMES_PER_SEC)
+    s.set_defaults(fn=cmd_join_dumps)
 
     s = sub.add_parser("send-cmd", help="publish a control command")
     s.add_argument("cmd", choices=[c for c in "SCQEFG"])
