@@ -30,6 +30,15 @@ def test_shapes_and_state():
     assert np.all(np.asarray(st.bp_kur) > 0)
 
 
+def test_dft_precision_validated():
+    # pure-bf16 DFT matmuls were measured 37% wrong in isolated bins
+    # (benchmarks/bench_dft_precision_tpu.py) — the config must reject it
+    with pytest.raises(ValueError):
+        PipelineConfig.tiny(dft_precision="default")
+    for ok in ("high", "highest"):
+        assert PipelineConfig.tiny(dft_precision=ok).dft_precision == ok
+
+
 def test_noise_statistics():
     # on flag-free white noise the normalized+quantized output should be
     # centered near the 8-bit zero level (127.5) with std ~1/0.02957 scaled

@@ -63,8 +63,17 @@ class PipelineConfig:
                                    # bookkeeping via ops.channelize
                                    # .pfb_weights)
     pfb_ntap: int = 4              # polyphase taps when channelizer='pfb'
-    # NB a bf16 DFT variant was measured SLOWER than f32-highest on the
-    # TPU (the chain is HBM-bandwidth-bound, not MXU-bound) and was removed
+    dft_precision: str = "high"    # MXU passes for the DFT matmuls:
+                                   # 'high' (bf16x3; default BY
+                                   # MEASUREMENT: chain 63.6 vs 73.2 ms
+                                   # per data-second on-chip, 2-bit
+                                   # output agreement 99.998%) |
+                                   # 'highest' (bf16x6 ~= f32, ~1e-6
+                                   # rel).  A pure-bf16 variant
+                                   # ('default') was measured 37% wrong
+                                   # in isolated bins and is rejected;
+                                   # benchmarks/bench_dft_precision_tpu
+                                   # .py + bench_chain_precision_tpu.py
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
                                    # zero-weights whole FFT blocks; the
@@ -139,6 +148,10 @@ class PipelineConfig:
             raise ValueError("ffts_per_seg must be a multiple of nscrunch")
         if self.nbit not in (2, 4, 8):
             raise ValueError("nbit must be 2, 4 or 8")
+        if self.dft_precision not in ("highest", "high"):
+            raise ValueError("dft_precision must be 'highest' or 'high' "
+                             "(pure-bf16 'default' is too inaccurate; see "
+                             "benchmarks/bench_dft_precision_tpu.py)")
         samples_per_byte = 8 // self.nbit
         if (self.out_samps_per_seg * self.nchanout * self.npol_out) % samples_per_byte:
             raise ValueError("channel/bit scheme is not byte-commensurate "

@@ -119,7 +119,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
             v_ext = jnp.concatenate([state.tail[stream], v], axis=1)
             return ch_ops.polyphase_channelize(v_ext, cfg.nfft,
                                                cfg.pfb_ntap,
-                                               method="matmul")
+                                               method="matmul",
+                                               precision=cfg.dft_precision)
 
         tl = (cfg.pfb_ntap - 1) * cfg.nfft
         new_tail = jnp.stack([x[:, -tl:], x_kur[:, -tl:]])
@@ -129,7 +130,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
             weights = ch_ops.pfb_weights(w_ext, cfg.pfb_ntap, cfg.nfft)
     else:
         def spectra(v, stream=0):
-            return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer)
+            return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer,
+                                     precision=cfg.dft_precision)
 
     def maybe_inject(spec):
         if not cfg.inject_frb:
@@ -227,7 +229,8 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
             def spectra(v, stream=0):
                 v_ext = jnp.concatenate([tail[stream], v], axis=1)
                 return ch_ops.polyphase_channelize(
-                    v_ext, cfg.nfft, cfg.pfb_ntap, method="matmul")
+                    v_ext, cfg.nfft, cfg.pfb_ntap, method="matmul",
+                    precision=cfg.dft_precision)
             tl = (cfg.pfb_ntap - 1) * cfg.nfft
             new_tail = jnp.stack([x[:, -tl:], x_kur[:, -tl:]])
             if cfg.rfi_mode > 0:
@@ -238,7 +241,8 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
         else:
             def spectra(v, stream=0):
                 return ch_ops.channelize(v, cfg.nfft,
-                                         method=cfg.channelizer)
+                                         method=cfg.channelizer,
+                                         precision=cfg.dft_precision)
 
         def maybe_inject(spec):
             if not cfg.inject_frb:

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def channelize(x: jax.Array, nfft: int, method: str = "fft") -> jax.Array:
+def channelize(x: jax.Array, nfft: int, method: str = "fft",
+               precision: str = "highest") -> jax.Array:
     """(npol, nsamp) real voltages -> (npol, nspec, nchan) complex spectra.
 
     nchan = nfft//2 + 1; spectrum s covers samples [s*nfft, (s+1)*nfft).
@@ -36,7 +37,7 @@ def channelize(x: jax.Array, nfft: int, method: str = "fft") -> jax.Array:
     npol, nsamp = x.shape
     frames = x.reshape(npol, nsamp // nfft, nfft)
     if method == "matmul":
-        return matmul_rfft(frames, nfft)
+        return matmul_rfft(frames, nfft, precision=precision)
     return jnp.fft.rfft(frames, axis=-1)
 
 
@@ -134,7 +135,8 @@ def pfb_weights(w_ext: jax.Array, ntap: int, nfft: int) -> jax.Array:
 
 
 def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4,
-                         method: str = "fft") -> jax.Array:
+                         method: str = "fft",
+                         precision: str = "highest") -> jax.Array:
     """WOLA polyphase filterbank (ref analysis/baseband.py:1207-1238).
 
     x: (npol, nsamp); output (npol, nspec, nchan) where
@@ -151,5 +153,5 @@ def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4,
     taps = frames[:, idx, :]
     wola = jnp.sum(taps * win.reshape(ntap, nfft), axis=2)
     if method == "matmul":
-        return matmul_rfft(wola, nfft)
+        return matmul_rfft(wola, nfft, precision=precision)
     return jnp.fft.rfft(wola, axis=-1)
