@@ -328,6 +328,18 @@ def test_matmul_rfft_matches_fft():
         np.testing.assert_allclose(a / scale, ref / scale, atol=2e-5)
 
 
+def test_matmul_rfft_planes_matches_fft():
+    # the real/imag-plane formulation must be numerically equivalent to
+    # the complex-einsum one (same Cooley-Tukey factorization)
+    rng = np.random.default_rng(3)
+    for nfft in (500, 12500 // 5, 144):
+        x = rng.standard_normal((3, 2, nfft)).astype(np.float32)
+        a = np.asarray(channelize.matmul_rfft_planes(jnp.asarray(x), nfft))
+        ref = np.fft.rfft(x, axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(a / scale, ref / scale, atol=2e-5)
+
+
 def test_polyphase_channelize_shape_and_leakage():
     rng = np.random.default_rng(1)
     nfft, ntap = 64, 4

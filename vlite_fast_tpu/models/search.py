@@ -87,7 +87,12 @@ def _device_gulp(fb, plan, *, engine: str, widths: tuple, k: int,
     # measured, 99.8% top-1000 recall; exact on CPU where it lowers to
     # sort).  A crossing the approximation drops is one of many duplicate
     # threshold hits of the same pulse; clustering keeps the peak.
-    return jax.lax.approx_max_k(snr.reshape(-1), k, recall_target=0.95)
+    vals, idx = jax.lax.approx_max_k(snr.reshape(-1), k,
+                                     recall_target=0.95)
+    # pack (vals, idx) into ONE int32 array: a single host fetch per gulp
+    # instead of two (each fetch pays a full round-trip latency)
+    return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32),
+                      idx.astype(jnp.int32)])
 
 
 class SinglePulseSearch:
@@ -137,16 +142,19 @@ class SinglePulseSearch:
         nbit > 0 (dequantized on device — 16x less transfer at 2 bit).
         """
         k = min(16 * self.scfg.max_candidates, 20000)
-        vals, idx = _device_gulp(
+        packed = _device_gulp(
             fb_dev, self.plan, engine=resolve_engine(self.scfg.engine),
             widths=self.widths, k=k, nbit=nbit, nchan=len(self.freqs_mhz))
         ntime_out = (fb_dev.shape[0] - self.plan.max_delay)
-        return vals, idx, (len(self.widths), len(self.dms), ntime_out)
+        return packed, (len(self.widths), len(self.dms), ntime_out)
 
-    def _cands_from_crossings(self, vals, idx, shape, t_offset, nvalid
+    def _cands_from_crossings(self, packed, shape, t_offset, nvalid
                               ) -> List[dd.Candidate]:
-        vals = np.asarray(vals)
-        idx = np.asarray(idx).astype(np.int64)
+        # one fetch for the packed (2, k) int32 crossings (see
+        # _device_gulp); row 0 is bitcast float32 S/N, row 1 flat indices
+        arr = np.asarray(packed)
+        vals = arr[0].view(np.float32)
+        idx = arr[1].astype(np.int64)
         nw, ndm, ntime = [int(s) for s in shape]
         keep = vals > self.scfg.snr_thresh
         vals, idx = vals[keep], idx[keep]
@@ -170,9 +178,9 @@ class SinglePulseSearch:
             pad = np.zeros((full - fb_block.shape[0], fb_block.shape[1]),
                            fb_block.dtype)
             fb_block = np.concatenate([fb_block, pad], axis=0)
-        vals, idx, shape = self._top_crossings(
+        packed, shape = self._top_crossings(
             jnp.asarray(fb_block, dtype=jnp.float32))
-        return self._cands_from_crossings(vals, idx, shape, t_offset,
+        return self._cands_from_crossings(packed, shape, t_offset,
                                           nvalid)
 
     def search_gulp_packed(self, packed_block: np.ndarray, nbit: int,
@@ -190,9 +198,9 @@ class SinglePulseSearch:
             pad = np.full((full - packed_block.shape[0],
                            packed_block.shape[1]), fill, np.uint8)
             packed_block = np.concatenate([packed_block, pad], axis=0)
-        vals, idx, shape = self._top_crossings(jnp.asarray(packed_block),
+        crossings, shape = self._top_crossings(jnp.asarray(packed_block),
                                                nbit=nbit)
-        return self._cands_from_crossings(vals, idx, shape, t_offset,
+        return self._cands_from_crossings(crossings, shape, t_offset,
                                           nvalid)
 
     def search_gulp_device(self, packed_dev, nbit: int, t_offset: int,
@@ -211,8 +219,8 @@ class SinglePulseSearch:
         full = self.scfg.gulp_samps + self.overlap
         if int(packed_dev.shape[0]) != full:
             raise ValueError(f"device gulp must be padded to {full} rows")
-        vals, idx, shape = self._top_crossings(packed_dev, nbit=nbit)
-        return self._cands_from_crossings(vals, idx, shape, t_offset,
+        crossings, shape = self._top_crossings(packed_dev, nbit=nbit)
+        return self._cands_from_crossings(crossings, shape, t_offset,
                                           nvalid)
 
     def search_stream(self, fb: np.ndarray) -> List[dd.Candidate]:

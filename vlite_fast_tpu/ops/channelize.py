@@ -100,6 +100,49 @@ def matmul_rfft(frames: jax.Array, nfft: int,
 
 
 @lru_cache(maxsize=8)
+def _ct_tables_planes(nfft: int) -> tuple:
+    """The _ct_tables matrices split into float32 real/imag planes (stage-2
+    matrix pre-sliced to the rfft-needed k2 rows)."""
+    n1, n2 = _ct_split(nfft)
+    w1, tw, w2 = _ct_tables(nfft)
+    n2_out = nfft // 2 // n1 + 1
+    w2s = w2[:, :n2_out]
+    return tuple(np.ascontiguousarray(p) for p in
+                 (w1.real, w1.imag, tw.real, tw.imag, w2s.real, w2s.imag))
+
+
+def matmul_rfft_planes(frames: jax.Array, nfft: int,
+                       precision: str = "highest") -> jax.Array:
+    """matmul_rfft computed on explicit float32 real/imag PLANES.
+
+    jnp.einsum(real, complex) promotes the voltages to complex64, so the
+    first Cooley-Tukey stage runs as a full complex x complex product — 4
+    real matmuls (two against a zero imaginary part) and 2x the input
+    reads.  Splitting the DFT matrices into real/imag planes does the same
+    transform in 6 real matmuls total (2 first-stage + 4 second-stage)
+    with every array in float32's native TPU tiling; only the final
+    result is assembled into complex64.
+    """
+    n1, n2 = _ct_split(nfft)
+    w1r, w1i, twr, twi, w2r, w2i = map(jnp.asarray, _ct_tables_planes(nfft))
+    batch = frames.shape[:-1]
+    nchan = nfft // 2 + 1
+    n2_out = nfft // 2 // n1 + 1
+    x = frames.reshape(-1, n1, n2).astype(jnp.float32)
+    ar = jnp.einsum("bnm,nk->bkm", x, w1r, precision=precision)
+    ai = jnp.einsum("bnm,nk->bkm", x, w1i, precision=precision)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    pr = (jnp.einsum("bkm,mj->bjk", br, w2r, precision=precision)
+          - jnp.einsum("bkm,mj->bjk", bi, w2i, precision=precision))
+    pi = (jnp.einsum("bkm,mj->bjk", br, w2i, precision=precision)
+          + jnp.einsum("bkm,mj->bjk", bi, w2r, precision=precision))
+    lin_r = pr.reshape(-1, n2_out * n1)[:, :nchan]
+    lin_i = pi.reshape(-1, n2_out * n1)[:, :nchan]
+    return jax.lax.complex(lin_r, lin_i).reshape(*batch, nchan)
+
+
+@lru_cache(maxsize=8)
 def _pfb_window(ntap: int, nfft: int) -> np.ndarray:
     """Sinc-Hamming prototype filter, normalized so white-noise power is
     preserved (sum of squares = ntap*nfft / nfft)."""

@@ -99,7 +99,16 @@ class DeviceGulpStream:
     def append(self, block) -> None:
         self.blocks.append(block)
 
-    def window(self, start: int, stop: int):
+    def window(self, start: int, stop: int, pad_to: int = 0,
+               fill: int = 0):
+        """Serve [start, stop) as one device array, or None if the data
+        isn't fully device-resident / boundary-aligned.
+
+        pad_to > stop-start appends device-side fill bytes up to pad_to
+        rows (the quantizer's near-zero level), so ragged flush tails
+        reuse the steady-state compiled search instead of bouncing ~38 MB
+        of packed bytes through the host (ref: heimdall searches its
+        final partial gulp in place too)."""
         off = self.start
         if start < off:
             return None
@@ -120,7 +129,13 @@ class DeviceGulpStream:
             return None
         cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                axis=0)
-        return cat[:stop - start]
+        cat = cat[:stop - start]
+        if pad_to > stop - start:
+            cat = jnp.concatenate(
+                [cat, jnp.full((pad_to - (stop - start),
+                                int(cat.shape[1])), fill, jnp.uint8)],
+                axis=0)
+        return cat
 
     def host_window(self, start: int, stop: int) -> np.ndarray:
         """Fetch [start, stop) to host (flush tails, misaligned fallback —
@@ -358,13 +373,18 @@ class StationPipeline:
                 flush and total - self._searched_to > overlap + 64):
             stop = min(self._searched_to + gulp + overlap, total)
             nrows = stop - self._searched_to
-            dev_win = (self._fb_dev.window(self._searched_to, stop)
-                       if nrows == gulp + overlap else None)
+            # flush tails pad to the steady-state shape ON DEVICE (same
+            # compiled program, zero host round trip for the bytes)
+            fill = {2: 0x55, 4: 0x77, 8: 0x7F}[self.cfg.nbit]
+            dev_win = self._fb_dev.window(self._searched_to, stop,
+                                          pad_to=gulp + overlap,
+                                          fill=fill)
             if dev_win is not None:
                 # filterbank bytes never left the device: search in place
                 found = self.search.search_gulp_device(
                     dev_win, self.cfg.nbit, t_offset=self._searched_to,
-                    nvalid=gulp)
+                    nvalid=nrows - overlap if nrows < gulp + overlap
+                    else gulp)
             else:
                 # flush tails / misaligned windows: host path (bytes go
                 # to the device as-is; dequantize in-graph)
