@@ -20,10 +20,12 @@ rng = np.random.default_rng(0)
 raw = jax.device_put(np.clip(rng.standard_normal(
     (2, cfg.sample_rate)) / 0.05914 + 128.5, 0, 255).astype(np.uint8), dev)
 
-orig = ch.matmul_rfft
+# channelize() dispatches to matmul_rfft_planes (the measured winner);
+# patch that symbol to A/B the two formulations
+orig = ch.matmul_rfft_planes
 outs = {}
-for name, impl in (("complex", orig), ("planes", ch.matmul_rfft_planes)):
-    ch.matmul_rfft = impl
+for name, impl in (("complex", ch.matmul_rfft), ("planes", orig)):
+    ch.matmul_rfft_planes = impl
     dsp.process_second.clear_cache()
     st = jax.device_put(dsp.init_state(cfg), dev)
     arm = jnp.bool_(False)
@@ -40,7 +42,7 @@ for name, impl in (("complex", orig), ("planes", ch.matmul_rfft_planes)):
     outs[name] = (np.asarray(o.packed), np.asarray(o.packed_kur))
     print(f"{name:8s}: {dt*1e3:6.1f} ms per data-second "
           f"({1/dt:.2f}x RT)", flush=True)
-ch.matmul_rfft = orig
+ch.matmul_rfft_planes = orig
 
 for name, i in (("plain", 0), ("kur", 1)):
     a, b = outs["complex"][i], outs["planes"][i]

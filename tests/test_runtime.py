@@ -233,3 +233,50 @@ class TestDumper:
                          width=0.01, peak_time=4.0)
             rec2 = d.dump(t2)
             assert rec2.seconds == [int(base + 4)]
+
+
+class TestDeviceGulpStream:
+    """The device-side block accumulator serving padded flush windows
+    (runtime/pipeline.DeviceGulpStream.window pad_to semantics)."""
+
+    def _stream(self, blocks):
+        from vlite_fast_tpu.runtime.pipeline import DeviceGulpStream
+        import jax.numpy as jnp
+        s = DeviceGulpStream()
+        for b in blocks:
+            s.append(jnp.asarray(b))
+        return s
+
+    def test_aligned_window(self):
+        blocks = [np.full((10, 4), i, np.uint8) for i in range(4)]
+        s = self._stream(blocks)
+        w = np.asarray(s.window(10, 30))
+        assert w.shape == (20, 4)
+        assert (w[:10] == 1).all() and (w[10:] == 2).all()
+
+    def test_misaligned_returns_none(self):
+        s = self._stream([np.zeros((10, 4), np.uint8)] * 2)
+        assert s.window(5, 15) is None
+
+    def test_padded_flush_window(self):
+        blocks = [np.full((10, 4), i + 1, np.uint8) for i in range(3)]
+        s = self._stream(blocks)
+        # tail of 20 rows available, pad to the steady 25-row shape
+        w = np.asarray(s.window(10, 30, pad_to=25, fill=0x55))
+        assert w.shape == (25, 4)
+        assert (w[:10] == 2).all() and (w[10:20] == 3).all()
+        assert (w[20:] == 0x55).all()
+
+    def test_pad_noop_when_full(self):
+        blocks = [np.full((10, 4), 7, np.uint8)] * 3
+        s = self._stream(blocks)
+        w = np.asarray(s.window(0, 30, pad_to=30, fill=0))
+        assert w.shape == (30, 4) and (w == 7).all()
+
+    def test_prune_then_window(self):
+        blocks = [np.full((10, 4), i, np.uint8) for i in range(4)]
+        s = self._stream(blocks)
+        s.prune(20)
+        assert s.window(10, 20) is None      # pruned away
+        w = np.asarray(s.window(20, 40))
+        assert (w[:10] == 2).all() and (w[10:] == 3).all()
