@@ -194,7 +194,7 @@ class SinglePulseSearch:
         nvalid = packed_block.shape[0] - self.overlap
         if packed_block.shape[0] < full:
             # pad with the quantizer's near-zero level in every slot
-            fill = {2: 0x55, 4: 0x77, 8: 0x7F}[nbit]
+            fill = q_ops.NEAR_ZERO_FILL[nbit]
             pad = np.full((full - packed_block.shape[0],
                            packed_block.shape[1]), fill, np.uint8)
             packed_block = np.concatenate([packed_block, pad], axis=0)
@@ -213,8 +213,11 @@ class SinglePulseSearch:
         production geometry).  Here the caller hands the accumulated
         device blocks directly: zero upload, only top-k crossings return.
 
-        packed_dev must already be exactly (gulp + overlap, nbytes) —
-        ragged tails go through search_gulp_packed (host pad, one-time).
+        packed_dev must already be exactly (gulp + overlap, nbytes); the
+        pipeline pads ragged flush tails ON DEVICE to this shape
+        (DeviceGulpStream.window pad_to).  search_gulp_packed remains the
+        fallback only for windows that aren't device-resident or don't
+        start on a stored block boundary.
         """
         full = self.scfg.gulp_samps + self.overlap
         if int(packed_dev.shape[0]) != full:

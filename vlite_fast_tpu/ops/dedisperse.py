@@ -304,7 +304,7 @@ def dedisperse_reference(fb: np.ndarray, delays: np.ndarray,
 # Boxcar matched filter
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("widths", "noise"))
+@partial(jax.jit, static_argnames=("widths", "noise", "noise_subsample"))
 def boxcar_snr(dmt: jax.Array, nchan_eff: float,
                widths: tuple = (1, 2, 4, 8, 16, 32, 64),
                noise: str = "measured",

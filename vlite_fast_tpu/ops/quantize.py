@@ -17,6 +17,13 @@ import jax.numpy as jnp
 
 from vlite_fast_tpu import constants as C
 
+# One packed byte whose every sample slot holds the quantizer's
+# near-zero level — the pad fill for ragged search gulps (2-bit level 1
+# = -0.098 sigma; 4-bit level 7; 8-bit level 127).  Shared by the host
+# (models/search.search_gulp_packed) and device
+# (runtime/pipeline.DeviceGulpStream.window) padding paths.
+NEAR_ZERO_FILL = {2: 0x55, 4: 0x77, 8: 0x7F}
+
 
 def quantize_2bit(x: jax.Array) -> jax.Array:
     """float -> uint8 levels {0,1,2,3} (ref src/pb_kernels.cu:654-666)."""

@@ -28,6 +28,7 @@ from vlite_fast_tpu.config import ArrayConfig, PipelineConfig, SearchConfig
 from vlite_fast_tpu.models import baseband_dsp as dsp
 from vlite_fast_tpu.models import search as search_mod
 from vlite_fast_tpu.ops import dedisperse as dd
+from vlite_fast_tpu.ops import quantize as q_ops
 from vlite_fast_tpu.runtime import trigger as trig
 from vlite_fast_tpu.runtime.control import ObservationDocument
 from vlite_fast_tpu.runtime.dumper import TriggeredDumper
@@ -375,7 +376,7 @@ class StationPipeline:
             nrows = stop - self._searched_to
             # flush tails pad to the steady-state shape ON DEVICE (same
             # compiled program, zero host round trip for the bytes)
-            fill = {2: 0x55, 4: 0x77, 8: 0x7F}[self.cfg.nbit]
+            fill = q_ops.NEAR_ZERO_FILL[self.cfg.nbit]
             dev_win = self._fb_dev.window(self._searched_to, stop,
                                           pad_to=gulp + overlap,
                                           fill=fill)
