@@ -33,17 +33,20 @@ BANDWIDTH_MHZ = 64.0
 NFFT = 12500                     # samples per FFT (channelizer transform size)
 NCHAN = NFFT // 2 + 1            # 6251 channels incl. DC
 NSCRUNCH = 8                     # time-average factor after detection
-SEG_PER_SEC = 80                 # seconds are processed as 80 x 12.5 ms chunks
-# Segment-size sweep on TPU v5 lite (benchmarks/bench_segsize_tpu.py):
-# sps=5 3.9x / 10 4.8x / 20 5.9x / 32 5.9x / 40 6.6x / 64 10.8x /
-# 80 11.9x / 160 11.7x real-time.  80 wins: small tiles keep each
-# segment's detect->EMA->scrunch intermediates resident so the chain
-# stops round-tripping HBM.  The EMA state threads across segments, so
-# seg_per_sec only re-tiles the execution (equivalent science, not bit
-# identical: f32 association order shifts ~0.5% of samples by one 2-bit
-# level and the second-0 bandpass seed averages a shorter window).
-FFTS_PER_SEG = VLITE_RATE // SEG_PER_SEC // NFFT   # 16 spectra / seg / pol
-SEG_SAMPS = VLITE_RATE // SEG_PER_SEC              # 12.8 Msamp / seg / pol
+SEG_PER_SEC = 320                # seconds processed as 320 x 3.125 ms chunks
+# Segment-size sweep on TPU v5 lite (benchmarks/bench_segsize_tpu.py),
+# f32 era: sps=5 3.9x / 10 4.8x / 20 5.9x / 40 6.6x / 64 10.8x /
+# 80 11.9x / 160 11.7x.  Re-swept after the bf16x3 real-plane DFT
+# (interleaved runs): 40 8.8x / 80 14.0x / 160 13.6x / 320 14.35x /
+# 640 10.3x — 320 wins.  Small tiles keep each segment's
+# detect->EMA->scrunch intermediates resident so the chain stops
+# round-tripping HBM (640's 4-FFT segments tip into per-step overhead).
+# The EMA state threads across segments, so seg_per_sec only re-tiles
+# the execution (equivalent science, not bit identical: f32 association
+# order shifts ~0.5% of samples by one 2-bit level and the second-0
+# bandpass seed averages a shorter window).
+FFTS_PER_SEG = VLITE_RATE // SEG_PER_SEC // NFFT   # 32 spectra / seg / pol
+SEG_SAMPS = VLITE_RATE // SEG_PER_SEC              # 400 ksamp / seg / pol
 
 # Output channel selection (ref: src/process_baseband.h:54-55). Channels are
 # counted from DC; the retained band is 362 -> 320 MHz (4096 channels).
