@@ -39,6 +39,19 @@ def test_dft_precision_validated():
         assert PipelineConfig.tiny(dft_precision=ok).dft_precision == ok
 
 
+def test_batch_streams_parity():
+    # the 2x-batched dual-stream DFT variant (a perf knob, slower on
+    # current TPUs but kept for re-tests) must produce the same packed
+    # output as the sequential default
+    raw = synthesis.white_noise_uint8(CFG.sample_rate, seed=9)
+    out_a, _ = run_second(CFG, raw)
+    out_b, _ = run_second(PipelineConfig.tiny(batch_streams=True), raw)
+    np.testing.assert_array_equal(np.asarray(out_a.packed),
+                                  np.asarray(out_b.packed))
+    np.testing.assert_array_equal(np.asarray(out_a.packed_kur),
+                                  np.asarray(out_b.packed_kur))
+
+
 def test_noise_statistics():
     # on flag-free white noise the normalized+quantized output should be
     # centered near the 8-bit zero level (127.5) with std ~1/0.02957 scaled

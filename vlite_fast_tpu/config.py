@@ -63,6 +63,15 @@ class PipelineConfig:
                                    # bookkeeping via ops.channelize
                                    # .pfb_weights)
     pfb_ntap: int = 4              # polyphase taps when channelizer='pfb'
+    batch_streams: bool = False    # rfi_mode=2: run both streams' DFT as
+                                   # one 2x-batched call.  Measured SLOWER
+                                   # twice (2x at the round-1 10x100 ms
+                                   # f32 tiling; 79 vs 60 ms/s at the
+                                   # 320-seg bf16x3-plane config) — the
+                                   # concat doubles the live intermediate
+                                   # and breaks XLA's producer/consumer
+                                   # stream pipelining.  Kept as a knob
+                                   # for future hardware re-tests.
     dft_precision: str = "high"    # MXU passes for the DFT matmuls:
                                    # 'high' (bf16x3; default BY
                                    # MEASUREMENT: chain 63.6 vs 73.2 ms

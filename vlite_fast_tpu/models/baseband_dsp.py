@@ -183,10 +183,18 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         packed_kur, bp_kur = finish_kur(
             maybe_inject(spectra(x_kur, 1)), bp_kur)
         packed = empty
+    elif cfg.batch_streams and cfg.channelizer != "pfb":
+        # one 2x-batched DFT over [plain; masked] voltages (re-testable
+        # alternative; see cfg.batch_streams for the measurement history)
+        spec2 = ch_ops.channelize(jnp.concatenate([x, x_kur], axis=0),
+                                  cfg.nfft, method=cfg.channelizer,
+                                  precision=cfg.dft_precision)
+        packed, bp = finish_plain(maybe_inject(spec2[:cfg.npol_in]), bp)
+        packed_kur, bp_kur = finish_kur(
+            maybe_inject(spec2[cfg.npol_in:]), bp_kur)
     else:
-        # NB: batching both streams into one 2x DFT was measured 2x SLOWER
-        # (the concat doubles the live intermediate and breaks the
-        # producer/consumer pipelining XLA finds for sequential streams)
+        # sequential per-stream DFTs (XLA pipelines producer/consumer
+        # pairs across the streams)
         packed, bp = finish_plain(maybe_inject(spectra(x)), bp)
         packed_kur, bp_kur = finish_kur(
             maybe_inject(spectra(x_kur, 1)), bp_kur)
