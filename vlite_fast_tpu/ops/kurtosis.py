@@ -102,7 +102,9 @@ def block_stats(pow_w: jax.Array, kur_w: jax.Array, dag: jax.Array,
 def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
                dag_thresh: float = C.DAG_THRESH,
                fake: bool = False,
-               debug_weights: bool = False) -> tuple[jax.Array, jax.Array]:
+               debug_weights: bool = False,
+               block_keep: jax.Array | None = None
+               ) -> tuple[jax.Array, jax.Array]:
     """Zero voltages in flagged windows; per-FFT-block surviving weights.
 
     Ref: apply_kurtosis / apply_kurtosis_fake (src/pb_kernels.cu:243-318).
@@ -110,6 +112,10 @@ def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
     use is commented out in the reference, pb_kernels.cu:255-256).
     x: (npol, nsamp); dag: (nwin,) -> (masked (npol, nsamp),
     weights (npol, nblk)).
+
+    block_keep: optional (nblk,) 0/1 gate (the dag_fb block-scale cut)
+    folded into the same masking pass — a separate post-multiply would
+    cost an extra full read+write of the voltage array.
 
     debug_weights reproduces the DEBUG_WEIGHTS deterministic mask
     (ref pb_kernels.cu:258-265): flag the second half of the chunk
@@ -136,8 +142,15 @@ def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
         good2 = jnp.stack([~bad_p0, ~bad_p1])[:npol]       # (npol, nwin)
     else:
         good2 = jnp.broadcast_to(dag < dag_thresh, (npol, nwin))
-    masked = jnp.where(
-        jnp.repeat(good2, nkurto, axis=1), x, 0.0)
+    # NB keep the mask in the FLAT (npol, nsamp) layout via jnp.repeat
+    # (uniform repeat lowers to broadcast+reshape, not a gather): a
+    # (npol, nwin, nkurto)-view multiply was measured ~10 ms/data-second
+    # SLOWER in-chain — the differing reshape breaks XLA's fusion with
+    # the channelizer's (npol, nspec, nfft) read of the masked array.
+    if block_keep is not None:
+        good2 = jnp.logical_and(good2,
+                                jnp.repeat(block_keep, wpf)[None, :])
+    masked = jnp.where(jnp.repeat(good2, nkurto, axis=1), x, 0.0)
     weights = jnp.mean(
         good2.astype(x.dtype).reshape(npol, nblk, wpf), axis=-1)
     return masked, weights
@@ -173,12 +186,8 @@ def rfi_excise(x: jax.Array, nkurto: int, nfft: int,
     wpf = nfft // nkurto
     pow_b, kur_b = block_stats(pow_w, kur_w, dag, wpf, dag_thresh)
     dag_fb = dagostino_ts(kur_b, nfft)
-    masked, weights = apply_mask(x, dag, nkurto, nfft, dag_thresh, fake)
-    if dag_fb_thresh > 0 and not fake:
-        keep = (dag_fb < dag_fb_thresh).astype(masked.dtype)   # (nblk,)
-        weights = weights * keep[None, :]
-        npol, nsamp = masked.shape
-        nblk = keep.shape[0]
-        masked = (masked.reshape(npol, nblk, nsamp // nblk)
-                  * keep[None, :, None]).reshape(npol, nsamp)
+    keep = ((dag_fb < dag_fb_thresh)
+            if dag_fb_thresh > 0 and not fake else None)
+    masked, weights = apply_mask(x, dag, nkurto, nfft, dag_thresh, fake,
+                                 block_keep=keep)
     return KurtosisResult(masked, weights, dag, dag_fb, pow_w, kur_w)
