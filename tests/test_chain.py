@@ -39,6 +39,24 @@ def test_dft_precision_validated():
         assert PipelineConfig.tiny(dft_precision=ok).dft_precision == ok
 
 
+def test_rfi_impl_pallas_parity():
+    # the fused Pallas RFI front-end must reproduce the XLA kurtosis
+    # stage through the full chain (interpret mode on CPU)
+    raw = np.asarray(synthesis.white_noise_uint8(CFG.sample_rate, seed=4))
+    raw[0, 30000:30500] = 250        # RFI burst -> flagged windows
+    out_a, st_a = run_second(CFG, raw)
+    out_b, st_b = run_second(PipelineConfig.tiny(rfi_impl="pallas"), raw)
+    np.testing.assert_array_equal(np.asarray(out_a.packed_kur),
+                                  np.asarray(out_b.packed_kur))
+    np.testing.assert_allclose(np.asarray(out_a.weights),
+                               np.asarray(out_b.weights), atol=1e-6)
+    np.testing.assert_allclose(float(out_a.dag_frac),
+                               float(out_b.dag_frac), atol=1e-6)
+    assert float(out_b.dag_frac) > 0   # the burst actually flagged
+    np.testing.assert_allclose(np.asarray(st_a.bp_kur),
+                               np.asarray(st_b.bp_kur), rtol=1e-6)
+
+
 def test_batch_streams_parity():
     # the 2x-batched dual-stream DFT variant (a perf knob, slower on
     # current TPUs but kept for re-tests) must produce the same packed

@@ -63,6 +63,12 @@ class PipelineConfig:
                                    # bookkeeping via ops.channelize
                                    # .pfb_weights)
     pfb_ntap: int = 4              # polyphase taps when channelizer='pfb'
+    rfi_impl: str = "xla"          # 'xla' (ops/kurtosis graph form;
+                                   # default BY MEASUREMENT) | 'pallas'
+                                   # (ops/rfi_pallas fused single pass;
+                                   # byte-identical output, ~10% slower
+                                   # in-chain — see rfi_pallas docstring
+                                   # for the measured A/B)
     batch_streams: bool = False    # rfi_mode=2: run both streams' DFT as
                                    # one 2x-batched call.  Measured SLOWER
                                    # twice (2x at the round-1 10x100 ms
@@ -157,6 +163,8 @@ class PipelineConfig:
             raise ValueError("ffts_per_seg must be a multiple of nscrunch")
         if self.nbit not in (2, 4, 8):
             raise ValueError("nbit must be 2, 4 or 8")
+        if self.rfi_impl not in ("xla", "pallas"):
+            raise ValueError("rfi_impl must be 'xla' or 'pallas'")
         if self.dft_precision not in ("highest", "high"):
             raise ValueError("dft_precision must be 'highest' or 'high' "
                              "(pure-bf16 'default' is too inaccurate; see "

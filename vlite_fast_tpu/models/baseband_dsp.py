@@ -89,6 +89,33 @@ def _frb_delay_array(cfg: PipelineConfig) -> jax.Array:
         bandwidth_ghz=cfg.bandwidth_mhz / 1e3))
 
 
+def _rfi_stage(cfg: PipelineConfig, raw: jax.Array, x: jax.Array):
+    """RFI excision front: (masked voltages, weights, dag_frac).
+
+    rfi_impl 'pallas' runs the fused single-pass kernel
+    (ops/rfi_pallas.rfi_front: uint8 convert + window stats + D'Agostino
+    gates + mask in one launch — the XLA form is ~6 kernels whose launch
+    overhead dominates at the production segment tiling); 'xla' is the
+    ops/kurtosis graph form.  Exact flag parity between the two is
+    asserted in tests."""
+    weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
+    dag_frac = jnp.float32(0.0)
+    if cfg.rfi_mode == 0:
+        return x, weights, dag_frac
+    if cfg.rfi_impl == "pallas":
+        from vlite_fast_tpu.ops import rfi_pallas
+        x_kur, weights, dag = rfi_pallas.rfi_front(
+            raw, cfg.nkurto, cfg.nfft, dag_thresh=cfg.dag_thresh,
+            dag_fb_thresh=cfg.dag_fb_thresh)
+        dag_frac = jnp.mean((dag >= cfg.dag_thresh).astype(jnp.float32))
+        return x_kur, weights, dag_frac
+    res = kur_ops.rfi_excise(x, cfg.nkurto, cfg.nfft,
+                             dag_thresh=cfg.dag_thresh,
+                             dag_fb_thresh=cfg.dag_fb_thresh)
+    dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
+    return res.masked, res.weights, dag_frac
+
+
 def process_segment(cfg: PipelineConfig, raw: jax.Array,
                     state: DSPState) -> tuple[SegmentOutput, DSPState]:
     """One 1/seg_per_sec-second chunk through the full chain.
@@ -96,16 +123,7 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
     raw: (npol_in, seg_samps) uint8. Pure function of (raw, state).
     """
     x = unpack_ops.convert_uint8(raw)
-
-    weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
-    dag_frac = jnp.float32(0.0)
-    x_kur = x
-    if cfg.rfi_mode > 0:
-        res = kur_ops.rfi_excise(x, cfg.nkurto, cfg.nfft,
-                                 dag_thresh=cfg.dag_thresh,
-                                 dag_fb_thresh=cfg.dag_fb_thresh)
-        x_kur, weights = res.masked, res.weights
-        dag_frac = jnp.mean((res.dag >= cfg.dag_thresh).astype(jnp.float32))
+    x_kur, weights, dag_frac = _rfi_stage(cfg, raw, x)
 
     new_tail, new_wtail = state.tail, state.wtail
     if cfg.channelizer == "pfb":
@@ -222,16 +240,7 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
     def step(carry, seg):
         since, tail, wtail = carry
         x = unpack_ops.convert_uint8(seg)
-        weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
-        dag_frac = jnp.float32(0.0)
-        x_kur = x
-        if cfg.rfi_mode > 0:
-            res = kur_ops.rfi_excise(x, cfg.nkurto, cfg.nfft,
-                                     dag_thresh=cfg.dag_thresh,
-                                     dag_fb_thresh=cfg.dag_fb_thresh)
-            x_kur, weights = res.masked, res.weights
-            dag_frac = jnp.mean((res.dag >= cfg.dag_thresh)
-                                .astype(jnp.float32))
+        x_kur, weights, dag_frac = _rfi_stage(cfg, seg, x)
         new_tail, new_wtail = tail, wtail
         if cfg.channelizer == "pfb":
             def spectra(v, stream=0):
