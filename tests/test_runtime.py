@@ -280,3 +280,43 @@ class TestDeviceGulpStream:
         assert s.window(10, 20) is None      # pruned away
         w = np.asarray(s.window(20, 40))
         assert (w[:10] == 2).all() and (w[10:] == 3).all()
+
+
+def test_station_pipeline_memory_bounded():
+    """Long-observation soak: the host-side gulp accumulators must stay
+    O(gulp), not O(observation) (the round-1 O(T^2) drain, ADVICE.md),
+    and feed_second must not slow down as the observation ages."""
+    import time as _time
+    import jax.numpy as jnp
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.runtime.control import ObservationDocument
+    from vlite_fast_tpu.runtime.pipeline import StationPipeline
+
+    cfg = PipelineConfig.tiny()
+    scfg = SearchConfig.tiny()
+    pipe = StationPipeline(1, cfg, scfg, out_dir="/tmp/vfast_soak",
+                           keep_ring=False, write_cands=False)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(np.clip(rng.standard_normal(
+        (2, cfg.sample_rate)) / 0.05914 + 128.5, 0, 255).astype(np.uint8))
+    od = ObservationDocument(name="SOAK", start_time=1.6e9)
+    pipe.begin_observation(od, write_fil=False)
+    n_sec = 40
+    bound = scfg.gulp_samps + pipe.search.overlap \
+        + cfg.seg_per_sec * cfg.out_samps_per_seg  # one gulp + one second
+    times = []
+    for s in range(n_sec):
+        t0 = _time.perf_counter()
+        pipe.feed_second(1.6e9 + s, raw)
+        times.append(_time.perf_counter() - t0)
+        held = pipe._fb.total - pipe._fb.start
+        held_dev = pipe._fb_dev.total - pipe._fb_dev.start
+        assert held <= bound, f"host accum grew to {held} rows at s={s}"
+        assert held_dev <= bound
+    pipe.end_observation()
+    pipe.close()
+    # steady-state cost must not trend upward with observation age;
+    # medians smooth over which seconds happen to complete a gulp
+    early = float(np.median(times[4:16]))
+    late = float(np.median(times[n_sec - 12:]))
+    assert late < 5 * max(early, 1e-3), (early, late)
