@@ -236,6 +236,22 @@ class SearchConfig:
         kw.update(overrides)
         return cls(**kw)
 
+    @classmethod
+    def low_latency(cls, **overrides) -> "SearchConfig":
+        """6 s gulps instead of 24 s: the candidate-latency bound drops
+        from 36.4 s to 18.4 s data-time (gulp + DM-1000 overlap; the
+        reference documents 40-50 s, src/trigger.py:164-166) and the
+        voltage-dump margin against the 32-60 s ring depth widens
+        correspondingly (scripts/start_writer:12).  Measured on-chip
+        (benchmarks/bench_lowlat_tpu.py): search cost rises from 9.2 to
+        23.5 ms per data-second (the DM-1000 overlap is re-dedispersed
+        every gulp), i.e. station capacity ~14.3 -> ~12 antennas/chip —
+        the trade a latency-sensitive deployment makes.
+        """
+        kw = dict(gulp_samps=7680)
+        kw.update(overrides)
+        return cls(**kw)
+
 
 @dataclass(frozen=True)
 class TriggerConfig:
