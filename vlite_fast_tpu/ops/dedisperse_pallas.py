@@ -57,18 +57,21 @@ def _shifted_read(read_rows, d, nrows):
     """Read `nrows` folded (row, LANE) rows starting at flat element offset
     `d` (traced int32): rows [d//LANE, ...) lane-rotated by d % LANE.
 
-    read_rows(q) must return the (nrows, LANE) block starting at row q.
-    Returns (nrows, LANE) float32 equal to flat[d : d + nrows*LANE]
+    read_rows(q) must return the (nrows + 1, LANE) block starting at row
+    q.  Returns (nrows, LANE) float32 equal to flat[d : d + nrows*LANE]
     refolded.
+
+    Cost note: ONE wide read + ONE roll + select (4 VPU ops per
+    accumulated element incl. the caller's add).  The original funnel
+    (two overlapping nrows-reads, each rolled, then select) cost ~6 —
+    a substantial share of the engine's VPU work (A/B in
+    benchmarks/bench_ddp_tpu.py).
     """
     q = d // LANE
     r = d % LANE
-    a = read_rows(q)
-    b = read_rows(q + 1)
-    ra = pltpu.roll(a, -r, 1)
-    rb = pltpu.roll(b, -r, 1)
+    blk = pltpu.roll(read_rows(q), -r, 1)       # (nrows + 1, LANE)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANE), 1)
-    return jnp.where(lane < LANE - r, ra, rb)
+    return jnp.where(lane < LANE - r, blk[:nrows], blk[1:])
 
 
 def _stage1_kernel(rel_ref, fb_ref, y_ref, *, nr1: int):
@@ -80,7 +83,7 @@ def _stage1_kernel(rel_ref, fb_ref, y_ref, *, nr1: int):
     w = fb_ref.shape[0]
 
     def body(ch, acc):
-        read = lambda q: fb_ref[pl.ds(ch, 1), pl.ds(q, nr1), :][0]
+        read = lambda q: fb_ref[pl.ds(ch, 1), pl.ds(q, nr1 + 1), :][0]
         return acc + _shifted_read(read, rel_ref[0, 0, 0, ch], nr1)
 
     acc = jax.lax.fori_loop(0, w, body,
@@ -108,7 +111,8 @@ def _stage2_kernel(subd_ref, y_ref, out_ref, *, nrout: int, per_batch: int,
     # ~38 trials per batch; unrolling would bloat compile time)
     def dm_body(dm, _):
         def body(s, acc):
-            read = lambda q: y_ref[0, pl.ds(s, 1), pl.ds(q, nrout), :][0]
+            read = lambda q: y_ref[0, pl.ds(s, 1),
+                                   pl.ds(q, nrout + 1), :][0]
             return acc + _shifted_read(read, subd_ref[0, 0, dm, s],
                                        nrout)
 
