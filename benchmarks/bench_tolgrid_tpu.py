@@ -48,5 +48,12 @@ ref = dd.dedisperse_reference(np.asarray(fb), full, scfg.gulp_samps,
                               chan_weights=np.asarray(plan.chan_weights))
 approx = np.asarray(out[idm])
 err = np.abs(approx[:1000] - ref[0][:1000]).mean() / np.abs(ref[0][:1000]).mean()
-print("row", idm, "mean rel err vs exact oracle:", round(float(err), 4),
-      "(subband approximation bound)", flush=True)
+# NB on WHITE-NOISE input this is a worst-case decorrelation measure: a
+# single-sample in-subband misalignment fully decorrelates that
+# channel's noise contribution, so values of O(1) are expected and say
+# nothing about pulse S/N (a pulse wider than the few-sample
+# misalignment loses only the dm_tol-bounded fraction — the injected-
+# pulse recovery tests in tests/test_e2e.py are the accuracy criterion).
+print("row", idm, "white-noise decorrelation vs exact oracle:",
+      round(float(err), 4),
+      "(expected O(1); NOT a pulse-S/N error — see comment)", flush=True)
