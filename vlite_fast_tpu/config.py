@@ -165,6 +165,14 @@ class PipelineConfig:
             raise ValueError("nbit must be 2, 4 or 8")
         if self.rfi_impl not in ("xla", "pallas"):
             raise ValueError("rfi_impl must be 'xla' or 'pallas'")
+        if self.batch_streams and (self.ema_impl == "pallas"
+                                   or self.channelizer == "pfb"):
+            # only the default per-segment scan path implements the
+            # batched dual-stream DFT; fail loudly rather than silently
+            # benchmarking the sequential path
+            raise ValueError("batch_streams requires the default scan "
+                             "path (ema_impl != 'pallas', "
+                             "channelizer != 'pfb')")
         if self.dft_precision not in ("highest", "high"):
             raise ValueError("dft_precision must be 'highest' or 'high' "
                              "(pure-bf16 'default' is too inaccurate; see "

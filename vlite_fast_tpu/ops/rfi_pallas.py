@@ -80,7 +80,7 @@ def _ts(kur, k: dict, dag_inf: float):
 
 
 def _front_kernel(u_ref, masked_ref, dagt_ref, wt_ref, *,
-                  nkurto: int, wpf: int, dag_thresh: float,
+                  wpf: int, dag_thresh: float,
                   dag_fb_thresh: float, kf: dict, kb: dict,
                   dag_inf: float):
     """One (window-tile) cell: WT windows x nkurto samples, both pols."""
@@ -154,7 +154,7 @@ def rfi_front(u: jax.Array, nkurto: int, nfft: int,
     kf = C.dagostino_constants(nkurto)
     kb = C.dagostino_constants(nfft)
     kern = functools.partial(
-        _front_kernel, nkurto=nkurto, wpf=wpf,
+        _front_kernel, wpf=wpf,
         dag_thresh=float(dag_thresh),
         dag_fb_thresh=float(dag_fb_thresh), kf=kf, kb=kb,
         dag_inf=float(C.DAG_INF))

@@ -382,10 +382,11 @@ class StationPipeline:
                                           fill=fill)
             if dev_win is not None:
                 # filterbank bytes never left the device: search in place
+                # nrows <= gulp + overlap always, so this covers both the
+                # steady (== gulp) and padded-flush (< gulp) cases
                 found = self.search.search_gulp_device(
                     dev_win, self.cfg.nbit, t_offset=self._searched_to,
-                    nvalid=nrows - overlap if nrows < gulp + overlap
-                    else gulp)
+                    nvalid=nrows - overlap)
             else:
                 # flush tails / misaligned windows: host path (bytes go
                 # to the device as-is; dequantize in-graph)
