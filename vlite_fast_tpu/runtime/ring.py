@@ -16,8 +16,11 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_CSRC = Path(__file__).resolve().parents[2] / "csrc"
-_LIB_PATH = _CSRC / "libvfast.so"
+# repo checkout layout by default; pip-installed deployments point
+# VFAST_CSRC at a csrc checkout or VFAST_LIB at a prebuilt libvfast.so
+_CSRC = Path(os.environ.get("VFAST_CSRC",
+                            Path(__file__).resolve().parents[2] / "csrc"))
+_LIB_PATH = Path(os.environ.get("VFAST_LIB", _CSRC / "libvfast.so"))
 _lib = None
 
 
@@ -31,6 +34,11 @@ def get_lib() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     srcs = [_CSRC / "ringbuffer.cpp", _CSRC / "netcap.cpp"]
+    if not _LIB_PATH.exists() and not _CSRC.exists():
+        raise RuntimeError(
+            f"native runtime not found: no {_LIB_PATH} and no csrc at "
+            f"{_CSRC}; set VFAST_LIB to a prebuilt libvfast.so or "
+            f"VFAST_CSRC to a csrc checkout (built with make)")
     if not _LIB_PATH.exists() or any(
             _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
             if s.exists()):
