@@ -67,3 +67,36 @@ def test_launch_fake_observation(tmp_path, capsys):
     assert len(dumps) >= 2                      # both stations dumped
     for d in dumps:
         assert os.path.getsize(d) > 0
+
+
+def test_launch_print_remote_plan(tmp_path, capsys):
+    """AntennaConfig.host + `launch --print-remote` emit the ssh fan-out
+    plan (the scripts/launch:5-12 + config/hosts role) without spawning
+    anything."""
+    acfg = ArrayConfig(
+        antennas=(
+            AntennaConfig(station_id=1, name="ea01", host="vd01",
+                          source="udp:20000"),
+            AntennaConfig(station_id=2, name="ea02",   # local: not planned
+                          source="udp:20001"),
+            AntennaConfig(station_id=3, name="ea03", host="vd03",
+                          source="udp:20002")),
+        pipeline=PipelineConfig.tiny(),
+        search=SearchConfig.tiny(),
+        trigger=TriggerConfig(),
+        command_port=24101, coincidencer_port=24155,
+        trigger_port_base=24200)
+    cfg_path = tmp_path / "array.json"
+    acfg.save(str(cfg_path))
+    # round trip keeps the host column
+    assert ArrayConfig.load(str(cfg_path)).antennas[0].host == "vd01"
+    cli.main(["launch", str(cfg_path), "--out-dir", str(tmp_path),
+              "--print-remote", "--leader-addr", "10.0.0.9"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert len(lines) == 2
+    assert lines[0].startswith("ssh vd01 nohup python3 -m "
+                               "vlite_fast_tpu.runtime.station_main")
+    assert "--leader 10.0.0.9" in lines[0]
+    assert f"--coincidencer 10.0.0.9:24155" in lines[0]
+    assert "--station 3" in lines[1] and "ssh vd03" in lines[1]
+    assert "--trigger-port 24203" in lines[1]

@@ -311,27 +311,46 @@ def cmd_launch(args):
 
     acfg = ArrayConfig.load(args.config)
     out = args.out_dir
+
+    def station_cmd(a, python, leader_addr):
+        cmd = [python, "-m", "vlite_fast_tpu.runtime.station_main",
+               "--station", str(a.station_id),
+               "--config", args.config,
+               "--source", a.source,
+               "--out-dir", out,
+               "--leader", leader_addr,
+               "--command-port", str(acfg.command_port),
+               "--coincidencer",
+               f"{leader_addr}:{acfg.coincidencer_port}",
+               "--trigger-port",
+               str(acfg.trigger_port_base + a.station_id)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        return cmd
+
+    local = ("", "localhost", "127.0.0.1")
+    remote_ants = [a for a in acfg.antennas if a.host not in local]
+    if args.print_remote:
+        # the scripts/launch:5-12 ssh fan-out, as an explicit plan (one
+        # line per remote station; a deployment pipes this to sh)
+        for a in remote_ants:
+            print(" ".join(["ssh", a.host, "nohup"]
+                           + station_cmd(a, "python3", args.leader_addr)
+                           + ["</dev/null", ">/dev/null", "2>&1", "&"]))
+        return
     leader = Leader(acfg, out, manual_port=args.manual_port,
                     obsinfo_port=args.obsinfo_port,
                     waterfall=args.waterfall)
     procs = []
     try:
         for a in acfg.antennas:
-            cmd = [sys.executable, "-m",
-                   "vlite_fast_tpu.runtime.station_main",
-                   "--station", str(a.station_id),
-                   "--config", args.config,
-                   "--source", a.source,
-                   "--out-dir", out,
-                   "--leader", "127.0.0.1",
-                   "--command-port", str(acfg.command_port),
-                   "--coincidencer",
-                   f"127.0.0.1:{acfg.coincidencer_port}",
-                   "--trigger-port",
-                   str(acfg.trigger_port_base + a.station_id)]
-            if args.platform:
-                cmd += ["--platform", args.platform]
-            procs.append(subprocess.Popen(cmd))
+            if a.host not in local:
+                procs.append(subprocess.Popen(
+                    ["ssh", a.host, "nohup"]
+                    + station_cmd(a, "python3", args.leader_addr)))
+            else:
+                procs.append(subprocess.Popen(
+                    station_cmd(a, sys.executable, "127.0.0.1")))
         if not leader.wait_for_stations(len(procs),
                                         timeout=args.startup_timeout):
             raise RuntimeError(
@@ -494,6 +513,13 @@ def main(argv=None):
     s.add_argument("--waterfall", action="store_true")
     s.add_argument("--platform", default="",
                    help="jax platform for the stations (e.g. 'cpu')")
+    s.add_argument("--leader-addr", default="127.0.0.1",
+                   help="address remote stations dial back to "
+                        "(this host, as seen from the antenna hosts)")
+    s.add_argument("--print-remote", action="store_true",
+                   help="print the ssh fan-out commands for stations "
+                        "with a remote host: set, then exit "
+                        "(scripts/launch role as an explicit plan)")
     s.set_defaults(fn=cmd_launch)
 
     s = sub.add_parser("bench", help="headline benchmark")

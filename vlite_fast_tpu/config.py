@@ -289,6 +289,11 @@ class AntennaConfig:
     position_m: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # ECEF-ish
     source: str = "udp:20000"    # station data source: 'udp:PORT' (live
                                  # VDIF datagrams) or 'file:PATH' (replay)
+    host: str = ""               # where this station's daemon runs:
+                                 # ''/localhost = spawned by `launch`
+                                 # locally; anything else = ssh fan-out
+                                 # (the config/hosts first column,
+                                 # scripts/launch:5-12)
 
 
 @dataclass(frozen=True)
