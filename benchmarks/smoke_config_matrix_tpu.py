@@ -51,6 +51,13 @@ for name, kw in VARIANTS:
         field = o.packed_kur if cfg.rfi_mode else o.packed
         v = float(jnp.sum(field[:64].astype(jnp.float32)))
         compile_s = time.perf_counter() - t0
+        # warm before timing: the tunneled device's first dispatches
+        # after a compile are ~10x slow (observed on the first variants
+        # of a fresh process); the timing column is indicative only
+        for _ in range(2):
+            o, st2 = dsp.process_second(cfg, raw, st2, jnp.bool_(False))
+        float(jnp.sum((o.packed_kur if cfg.rfi_mode else o.packed)[:1]
+                      .astype(jnp.float32)))
         t0 = time.perf_counter()
         o, _ = dsp.process_second(cfg, raw, st2, jnp.bool_(False))
         float(jnp.sum((o.packed_kur if cfg.rfi_mode else o.packed)[:1]
