@@ -191,12 +191,13 @@ def polyphase_channelize(x: jax.Array, nfft: int, ntap: int = 4,
     npol, nsamp = x.shape
     nspec_raw = nsamp // nfft
     nspec = nspec_raw - (ntap - 1)
-    win = jnp.asarray(_pfb_window(ntap, nfft))
+    win = jnp.asarray(_pfb_window(ntap, nfft)).reshape(ntap, nfft)
     frames = x.reshape(npol, nspec_raw, nfft)
-    # gather ntap consecutive frames per output spectrum: (npol,nspec,ntap,nfft)
-    idx = jnp.arange(nspec)[:, None] + jnp.arange(ntap)[None, :]
-    taps = frames[:, idx, :]
-    wola = jnp.sum(taps * win.reshape(ntap, nfft), axis=2)
+    # ntap consecutive frames per output spectrum via STATIC slices (a
+    # fancy-index gather here lowers to an XLA gather — slow on TPU and
+    # the op class behind the round-1 dedispersion fault)
+    wola = sum(frames[:, t:t + nspec] * win[t]
+               for t in range(ntap))
     if method == "matmul":
         return matmul_rfft_planes(wola, nfft, precision=precision)
     return jnp.fft.rfft(wola, axis=-1)
