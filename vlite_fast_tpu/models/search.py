@@ -178,8 +178,10 @@ class SinglePulseSearch:
             pad = np.zeros((full - fb_block.shape[0], fb_block.shape[1]),
                            fb_block.dtype)
             fb_block = np.concatenate([fb_block, pad], axis=0)
-        packed, shape = self._top_crossings(
-            jnp.asarray(fb_block, dtype=jnp.float32))
+        # ship the caller's dtype and cast to f32 IN-GRAPH (_device_gulp):
+        # the coadd stream stores float16, so converting on the host
+        # would double the block's host->device bytes
+        packed, shape = self._top_crossings(jnp.asarray(fb_block))
         return self._cands_from_crossings(packed, shape, t_offset,
                                           nvalid)
 

@@ -485,8 +485,9 @@ class CoaddSearcher:
         while total - self._searched_to >= gulp + overlap or (
                 flush and total - self._searched_to > overlap + 64):
             stop = min(self._searched_to + gulp + overlap, total)
-            block = self._co.window(self._searched_to,
-                                    stop).astype(np.float32)
+            # float16 ships as-is; the device program casts in-graph
+            # (half the host->device bytes of a f32 conversion here)
+            block = self._co.window(self._searched_to, stop)
             out.extend(self.search.search_gulp(
                 block, t_offset=self._searched_to))
             self._searched_to += min(gulp, block.shape[0] - overlap)
