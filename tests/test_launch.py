@@ -62,7 +62,10 @@ def test_launch_fake_observation(tmp_path, capsys):
     assert summary["triggers"] >= 1
 
     fils = glob.glob(os.path.join(out, "*.fil"))
-    assert len(fils) == 2                       # one per beam
+    # rfi_mode=2 writes BOTH streams per beam (excised + _plain, the
+    # reference's -r 2 dual product)
+    assert len(fils) == 4
+    assert len([f for f in fils if f.endswith("_plain.fil")]) == 2
     dumps = glob.glob(os.path.join(out, "dumps", "*.vdif"))
     assert len(dumps) >= 2                      # both stations dumped
     for d in dumps:

@@ -40,6 +40,19 @@ def test_coincidence_beam_mask():
     assert (by_beam[2].beam_mask > 0).sum() == 1
 
 
+def test_coincidence_symmetric_across_slices():
+    """A pair overlapping across a 1 s slice boundary must update BOTH
+    masks: the earlier-ending candidate once failed min_beams because the
+    later slice never reported back."""
+    # slice is 1 s = 1280 samples; A ends in slice 0, B ends in slice 1
+    a = cand(i0=1200, i1=1270)
+    b = cand(i0=1250, i1=1300)
+    out = trig.coincidence({0: [a], 1: [b]}, TSAMP)
+    by_beam = {bc.beam: bc for bc in out}
+    assert (by_beam[0].beam_mask > 0).sum() == 2   # sees itself + beam 1
+    assert (by_beam[1].beam_mask > 0).sum() == 2
+
+
 def test_trigger_cuts():
     cfg = TriggerConfig()
     per_beam = {

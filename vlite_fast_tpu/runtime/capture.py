@@ -45,7 +45,10 @@ class CaptureStats:
     anomalous: int = 0         # bad-size / out-of-order packets
     seconds: int = 0
     clock_skew_s: float = 0.0  # worst |packet time - wall clock| observed
-    ring_full: bool = False    # set by the ring-writing stage
+    ring_full: bool = False    # for NON-overwrite ring writers (a stalled
+                               # consumer, writer.c:719-727); the station
+                               # daemon's history ring overwrites by
+                               # design and never sets this
     skip_warn: int = 1000      # ref writer.c:35
     skip_abort: int = 50000    # ref writer.c:36
     anomaly_warn: int = 100    # ref writer.c:32

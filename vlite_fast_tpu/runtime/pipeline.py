@@ -176,8 +176,13 @@ class StationPipeline:
 
     def __init__(self, station_id: int, cfg: PipelineConfig,
                  scfg: SearchConfig, out_dir: str = "/tmp/vfast",
-                 ring_seconds: int = 8, keep_ring: bool = True,
+                 ring_seconds: int = 40, keep_ring: bool = True,
                  write_cands: bool = True, write_kurto: bool = False):
+        # ring_seconds MUST exceed the gulp-bound candidate latency
+        # (<=36.4 s at the 24 s production gulp) or triggered voltage
+        # dumps always miss the event: the reference runs 32-60 deep
+        # (scripts/start_writer:12).  40 s of production baseband = 10 GB
+        # of shm per antenna, same class as the reference's ring.
         self.station_id = station_id
         self.cfg = cfg
         self.scfg = scfg
@@ -250,6 +255,7 @@ class StationPipeline:
         self.state = dsp.init_state(self.cfg)  # EMA reseeds per obs
         self._fb, self._searched_to = GulpStream(), 0
         self._fb_dev = DeviceGulpStream()
+        self._taps_offset = 0
         self._pending = None
         self._weights_accum = []
         self._histo_accum = None
@@ -258,6 +264,7 @@ class StationPipeline:
         self._search_live = search_live
         self._rt = RTMonitor()
         self._fil = None
+        self._fil_plain = None
         self._fil_path = None
         self._cands: List[dd.Candidate] = []
         self._nsec = 0
@@ -279,6 +286,13 @@ class StationPipeline:
                 self._fil = sigproc.FilterbankWriter(
                     self._fil_path, self._fil_header(self._od,
                                                      self._t0_unix))
+                if cfg.rfi_mode == 2:
+                    # mode 2 produces BOTH streams (ref -r 2 writes the
+                    # plain and excised filterbanks); the excised stream
+                    # is the searched primary, the plain one a product
+                    self._fil_plain = sigproc.FilterbankWriter(
+                        self._fil_path.replace(".fil", "_plain.fil"),
+                        self._fil_header(self._od, self._t0_unix))
         if self.ring is not None:
             self.ring.write(buf.reshape(-1), timestamp=float(sec),
                             flags=FLAG_OBS_START if self._nsec == 0 else 0,
@@ -292,11 +306,16 @@ class StationPipeline:
         # second's device result is fetched and post-processed while this
         # second's dispatch computes asynchronously
         pending_new = out.packed_kur if cfg.rfi_mode else out.packed
+        plain_new = (out.packed if (cfg.rfi_mode == 2
+                                    and self._fil_plain is not None)
+                     else None)
         if self._fil is not None or self.block_taps:
             try:
                 # start the D2H copy now so it overlaps the next second's
                 # device compute; _drain's np.asarray then finds it done
                 pending_new.copy_to_host_async()
+                if plain_new is not None:
+                    plain_new.copy_to_host_async()
             except AttributeError:
                 pass
         if self.write_kurto:
@@ -307,8 +326,8 @@ class StationPipeline:
                 else self._histo_accum + h
         before = len(self._cands)
         if self._pending is not None:
-            self._drain(self._pending)
-        self._pending = pending_new
+            self._drain(*self._pending)
+        self._pending = (pending_new, plain_new)
         self._nsec += 1
         deficit = self._rt.add(1.0)
         if deficit is not None:
@@ -317,11 +336,14 @@ class StationPipeline:
 
     def end_observation(self) -> ObservationProducts:
         if self._pending is not None:
-            self._drain(self._pending)
+            self._drain(*self._pending)
             self._pending = None
-        self._cands.extend(self._search_ready(flush=True))
+        if self._search_live:
+            self._cands.extend(self._search_ready(flush=True))
         if self._fil is not None:
             self._fil.close()
+        if self._fil_plain is not None:
+            self._fil_plain.close()
         cands, fil_path = self._cands, self._fil_path
         self.metrics.set("vfast_rt_factor", self._rt.realtime_factor)
         self.metrics.set("vfast_candidates", len(cands))
@@ -344,8 +366,13 @@ class StationPipeline:
             dropped=self.ring.dropped if self.ring else 0,
             start_unix=self._t0_unix or 0.0)
 
-    def _drain(self, packed_dev) -> None:
-        self._fb_dev.append(packed_dev)   # device handle: in-place search
+    def _drain(self, packed_dev, plain_dev=None) -> None:
+        if self._search_live:
+            # device handle: in-place search.  Only retained when the
+            # search consumes (and prunes) it — search_live=False would
+            # otherwise pin every second's output on the device,
+            # O(observation) HBM (the round-1 unbounded-drain class).
+            self._fb_dev.append(packed_dev)
         if self._fil is not None or self.block_taps:
             # host bytes are only pulled when a host consumer exists
             # (.fil writer / coadd taps); the search reads the device
@@ -353,10 +380,13 @@ class StationPipeline:
             packed = np.asarray(packed_dev)
             if self._fil is not None:
                 self._fil.write_block(packed)
-            offset = self._fb.total
-            self._fb.append(packed)
+            if plain_dev is not None and self._fil_plain is not None:
+                self._fil_plain.write_block(np.asarray(plain_dev))
+            if self._search_live:
+                self._fb.append(packed)
             for tap in self.block_taps:
-                tap(self.station_id, offset, packed)
+                tap(self.station_id, self._taps_offset, packed)
+            self._taps_offset += packed.shape[0]
         if self._search_live:
             self._cands.extend(self._search_ready())
 
@@ -434,6 +464,7 @@ class CoaddSearcher:
     def __init__(self, station_ids: List[int], cfg: PipelineConfig,
                  scfg: SearchConfig, nsub: int = 0, nbatch: int = 0):
         self.cfg, self.scfg = cfg, scfg
+        self._all_station_ids = list(station_ids)
         self.station_ids = list(station_ids)
         freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
                                     - 0.5) * cfg.chan_bw_mhz
@@ -449,25 +480,50 @@ class CoaddSearcher:
         self.log = make_logger("coadd")
 
     def reset(self) -> None:
+        self.station_ids = list(self._all_station_ids)  # un-retire
         self._pending = {sid: [] for sid in self.station_ids}
         self._co, self._searched_to = GulpStream(), 0
         self.cands = []
 
     def tap(self, station_id: int, offset: int, packed: np.ndarray) -> None:
         """StationPipeline block tap: collect, and coadd whatever sample
-        range every station has now delivered."""
+        range every station has now delivered.  Blocks from retired
+        stations (their stream ended; their pipeline drains a final
+        pending second afterwards) are dropped."""
+        if station_id not in self._pending:
+            return
         self._pending[station_id].append(packed)
         self._advance()
 
+    def retire(self, station_id: int) -> None:
+        """A station's stream ended (or died): drop it from the lockstep
+        set so the coadd keeps covering new data with the remaining N
+        (otherwise every other station's blocks pile up unbounded and the
+        coadded search silently stops).  The per-gulp robust noise
+        estimate absorbs the sqrt(N) scale change."""
+        if station_id in self.station_ids:
+            self.station_ids.remove(station_id)
+            self._pending.pop(station_id, None)
+            self.log.info("coadd: station %d retired (%d remain)",
+                          station_id, len(self.station_ids))
+            if self.station_ids:
+                self._advance()
+
     def _advance(self) -> None:
-        while all(self._pending[sid] for sid in self.station_ids):
+        while self.station_ids and all(
+                self._pending[sid] for sid in self.station_ids):
             blocks = [self._pending[sid].pop(0) for sid in self.station_ids]
             n = min(b.shape[0] for b in blocks)
             if any(b.shape[0] != n for b in blocks):
-                # ragged seconds should not happen in lockstep feeding;
-                # trim defensively and warn
+                # ragged blocks (different tap granularities): consume the
+                # common prefix and REQUEUE the remainders so streams stay
+                # sample-aligned (trimming would desynchronize the time
+                # axis of every later coadd)
                 self.log.warning("ragged coadd blocks: %s",
                                  [b.shape[0] for b in blocks])
+                for sid, b in zip(self.station_ids, blocks):
+                    if b.shape[0] > n:
+                        self._pending[sid].insert(0, b[n:])
                 blocks = [b[:n] for b in blocks]
             fbs = np.stack([search_mod.filterbank_from_packed(
                 b, self.cfg.nbit, self.cfg.nchanout) for b in blocks])
@@ -556,6 +612,8 @@ class ArrayPipeline:
                     sec, buf = next(live[st.station_id])
                 except StopIteration:
                     del live[st.station_id]
+                    if self.coadd is not None:
+                        self.coadd.retire(st.station_id)
                     continue
                 st.feed_second(sec, buf)
             nsec += 1

@@ -54,11 +54,24 @@ class StationDaemon:
         self.trig_rx = (TriggerReceiver(port=trigger_port)
                         if trigger_port is not None else None)
         self._stop = threading.Event()
+        self._shutdown_done = False
+        self._pending_cmds: list = []
         self._trigger_thread = None
         if self.trig_rx is not None:
             self._trigger_thread = threading.Thread(
                 target=self._trigger_loop, daemon=True)
             self._trigger_thread.start()
+
+    def _poll_cmds(self) -> list:
+        """Leader commands: anything deferred from a previous batch first
+        (a STOP and the next scan's START often arrive in ONE poll — the
+        repointing cascade; dropping the batch tail would stall the
+        daemon forever)."""
+        cmds = self._pending_cmds
+        self._pending_cmds = []
+        if self.cmd is not None:
+            cmds = cmds + self.cmd.poll()
+        return cmds
 
     def _manual_event_dump(self):
         """Dump every second currently resident in the history ring."""
@@ -83,17 +96,52 @@ class StationDaemon:
                     self.log.info("dumped %s (%d bytes)", rec.path,
                                   rec.nbytes)
 
+    def _ship_candidates(self, cands, od: ObservationDocument) -> None:
+        """Send a candidate batch to the coincidencer NOW (gulp-bound
+        latency, the heimdall->trigger.py streaming path — waiting for
+        observation end would make trigger latency observation-bound and
+        the event's voltages would long be overwritten).
+
+        Batches are keyed by a COMMON utc (the observation document's
+        start when it carries one) and candidate sample indices are
+        rebased to it: stations whose capture locked onto different
+        seconds would otherwise land in different coincidence groups and
+        never trigger."""
+        if self.cands is None or not cands:
+            return
+        t0 = self.pipeline._t0_unix or 0.0
+        base = od.start_time if od.start_time else t0
+        dsec = t0 - base
+        if abs(dsec) > 120.0:
+            # the OD's epoch doesn't describe this data (fake/replay
+            # observations of recorded files): fall back to the data's
+            # own start.  Real capture-lock skew between stations is a
+            # second or two, far inside this guard.
+            base, dsec = t0, 0.0
+        if abs(dsec) > 1e-9:
+            shift = int(round(dsec / self.pipeline.cfg.tsamp))
+            cands = [c._replace(peak_idx=c.peak_idx + shift,
+                                i0=c.i0 + shift, i1=c.i1 + shift,
+                                peak_time=c.peak_time + dsec)
+                     for c in cands]
+        try:
+            self.cands.send(f"{base:.0f}", self.station_id, cands)
+        except OSError as e:
+            self.log.warning("coincidencer unreachable: %s", e)
+
     def run_observation(self, seconds: Iterator, od: ObservationDocument):
-        """Process one observation's seconds; ship candidates per batch."""
-        prod = self.pipeline.run_observation(seconds, od)
-        if self.cands is not None and prod.candidates:
-            # batch UTC = actual data start so trigger windows map onto the
-            # ring's slot timestamps
-            utc = f"{prod.start_unix:.0f}"
-            try:
-                self.cands.send(utc, self.station_id, prod.candidates)
-            except OSError as e:
-                self.log.warning("coincidencer unreachable: %s", e)
+        """Process one observation's seconds, shipping candidate batches
+        as each gulp completes (not at observation end)."""
+        pipe = self.pipeline
+        pipe.begin_observation(od)
+        shipped = 0
+        for sec, buf in seconds:
+            fresh = pipe.feed_second(sec, buf)
+            if fresh:
+                self._ship_candidates(fresh, od)
+                shipped += len(fresh)
+        prod = pipe.end_observation()
+        self._ship_candidates(prod.candidates[shipped:], od)
         return prod
 
     def serve(self, source: str, poll_s: float = 0.1,
@@ -101,33 +149,38 @@ class StationDaemon:
         """Main loop: wait for START, run the observation from `source`
         ('udp:PORT' or 'file:PATH'), repeat until QUIT."""
         nobs = 0
-        while not self._stop.is_set():
-            od = None
-            for cmd, cmd_od in (self.cmd.poll() if self.cmd else []):
-                if cmd == Command.QUIT:
-                    self.shutdown()
+        try:
+            while not self._stop.is_set():
+                od = None
+                for cmd, cmd_od in self._poll_cmds():
+                    if cmd == Command.QUIT:
+                        return
+                    if cmd == Command.EVENT:
+                        # manual event: dump the ring's current window
+                        # (CMD_EVENT role, ref def.h:7 / event_to_file)
+                        self._manual_event_dump()
+                    if cmd in (Command.START, Command.FAKE_START):
+                        od = cmd_od or ObservationDocument(name="manual",
+                                                           scan_no=2)
+                if od is None:
+                    time.sleep(poll_s)
+                    continue
+                self.log.info("observation start: %s", od.name)
+                if source.startswith("file:"):
+                    secs = ((s, b) for s, b, _ in cap.replay_file(
+                        source[5:],
+                        sample_rate=self.pipeline.cfg.sample_rate))
+                else:
+                    secs = self._udp_seconds(int(source.split(":")[1]))
+                self.run_observation(secs, od)
+                nobs += 1
+                if max_observations and nobs >= max_observations:
                     return
-                if cmd == Command.EVENT:
-                    # manual event: dump the ring's current window
-                    # (CMD_EVENT role, ref def.h:7 / event_to_file)
-                    self._manual_event_dump()
-                if cmd in (Command.START, Command.FAKE_START):
-                    od = cmd_od or ObservationDocument(name="manual",
-                                                       scan_no=2)
-            if od is None:
-                time.sleep(poll_s)
-                continue
-            self.log.info("observation start: %s", od.name)
-            if source.startswith("file:"):
-                secs = ((s, b) for s, b, _ in cap.replay_file(
-                    source[5:],
-                    sample_rate=self.pipeline.cfg.sample_rate))
-            else:
-                secs = self._udp_seconds(int(source.split(":")[1]))
-            self.run_observation(secs, od)
-            nobs += 1
-            if max_observations and nobs >= max_observations:
-                return
+        finally:
+            # every exit path (QUIT mid-observation included) releases
+            # the shm ring and joins the trigger thread — a stale
+            # /vfast_bb_NN segment wedges the next daemon on this host
+            self.shutdown()
 
     def _udp_seconds(self, port: int):
         udp = cap.UDPCapture(port=port,
@@ -151,20 +204,31 @@ class StationDaemon:
                 idle = 0
                 for sec, buf in done:
                     yield sec, buf
-                if self.pipeline.ring is not None and \
-                        self.pipeline.ring.dropped > 0:
-                    udp.asm.stats.ring_full = True
-                # STOP/QUIT between seconds
-                for cmd, _ in (self.cmd.poll() if self.cmd else []):
+                # NB no ring-full abort here: the history ring writes
+                # with overwrite=True by DESIGN (it is the dump-history
+                # buffer, not a consumer queue — the DSP feed is
+                # synchronous and cannot fall behind it), so writer.c's
+                # ring-full abort (:719-727) has no analogue; a trigger
+                # whose window was already overwritten is handled by the
+                # dumper returning None.
+                # STOP/QUIT between seconds; commands AFTER a stop in the
+                # same batch (the repointing STOP+START cascade) are
+                # deferred to the serve loop, not dropped
+                batch = self._poll_cmds()
+                for i, (cmd, _) in enumerate(batch):
                     if cmd in (Command.STOP, Command.QUIT,
                                Command.FAKE_STOP):
                         if cmd == Command.QUIT:
                             self._stop.set()
+                        self._pending_cmds = batch[i + 1:]
                         return
         finally:
             udp.close()
 
     def shutdown(self):
+        if self._shutdown_done:
+            return
+        self._shutdown_done = True
         self._stop.set()
         # join the trigger thread BEFORE tearing down its ring/socket — a
         # dump in flight must finish or the viewer reads freed shm

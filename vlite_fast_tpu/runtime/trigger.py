@@ -81,7 +81,11 @@ def coincidence(per_beam: Dict[int, Sequence[Candidate]], tsamp: float,
                     cand.beam_mask[beam_of[other.beam]] += 1
             for other in prev:
                 if cand.overlaps(other, delta_dm, delta_w):
+                    # symmetric: the earlier-slice candidate must also
+                    # learn about this one, or a pair straddling a slice
+                    # boundary can fail min_beams on one side
                     cand.beam_mask[beam_of[other.beam]] += 1
+                    other.beam_mask[beam_of[cand.beam]] += 1
         prev = these
         idx0 = idx1
     return allc
