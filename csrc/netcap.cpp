@@ -9,6 +9,7 @@
 //
 // C ABI for ctypes, compiled into libvfast.so next to the ring buffer.
 
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <poll.h>
@@ -49,7 +50,16 @@ int64_t udp_drain(int fd, void* buf, uint64_t frame_bytes,
       msgs[i].msg_len = 0;
     }
     int n = recvmmsg(fd, msgs, want, MSG_DONTWAIT, nullptr);
-    if (n <= 0) break;  // EAGAIN => drained
+    if (n < 0) {
+      if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR)
+        break;                       // drained / interrupted: normal
+      // fatal socket error (EBADF, ENOBUFS, ...): surface it — but not
+      // at the cost of frames already drained; the NEXT call (kept==0)
+      // returns -1 and the caller stops polling a dead socket
+      if (kept == 0) return -1;
+      break;
+    }
+    if (n == 0) break;
     // compact out wrong-sized datagrams (truncated reads report msg_len
     // == frame_bytes only for exact-size frames; oversize sets MSG_TRUNC)
     uint64_t good = kept;

@@ -139,18 +139,28 @@ static int64_t rb_write_impl(void* vr, const void* buf, uint64_t nbytes,
   RBHeader* h = r->hdr;
   if (nbytes > h->bufsz) return -2;
   uint64_t head = h->head.load(std::memory_order_relaxed);
-  if (head - h->tail.load(std::memory_order_acquire) >= h->nbufs) {
+  for (;;) {
+    uint64_t tail = h->tail.load(std::memory_order_acquire);
+    if (head - tail < h->nbufs) break;     // space available
     if (!overwrite) {
       h->dropped.fetch_add(1);
       return -1;
     }
-    h->tail.fetch_add(1, std::memory_order_acq_rel);
+    // CAS, not fetch_add: a concurrent rb_read may advance tail between
+    // our fullness check and here; an unconditional increment would then
+    // skip an unread slot silently.  On a lost race the ring has space —
+    // loop re-checks.
+    if (h->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel))
+      break;
   }
   uint64_t idx = head % h->nbufs;
   memcpy(r->data + idx * h->bufsz, buf, nbytes);
   SlotMeta* m = &r->meta[idx];
   m->nbytes = nbytes;
-  m->seq = head;
+  // release-store so rb_peek_seq's acquire re-check pairs with it (and
+  // the compiler cannot fold the viewer's two seq loads into one)
+  __atomic_store_n(&m->seq, head, __ATOMIC_RELEASE);
   m->timestamp = timestamp;
   m->flags = flags;
   h->head.store(head + 1, std::memory_order_release);
@@ -204,14 +214,16 @@ int64_t rb_peek_seq(void* vr, uint64_t seq, void* buf, uint64_t maxbytes,
   if (seq >= head || head - seq > h->nbufs) return -1;
   uint64_t idx = seq % h->nbufs;
   SlotMeta* m = &r->meta[idx];
-  if (m->seq != seq) return -1;
+  if (__atomic_load_n(&m->seq, __ATOMIC_ACQUIRE) != seq) return -1;
   uint64_t n = m->nbytes < maxbytes ? m->nbytes : maxbytes;
   memcpy(buf, r->data + idx * h->bufsz, n);
   if (timestamp) *timestamp = m->timestamp;
   // re-check the slot wasn't recycled mid-copy (racy-by-design viewer,
   // tolerated exactly as in the reference dumper: seconds-deep buffers,
-  // dumps target the past)
-  if (r->meta[idx].seq != seq) return -1;
+  // dumps target the past).  ATOMIC load: a plain re-read of the same
+  // non-volatile lvalue may legally be folded into the first load,
+  // silencing the torn-copy guard.
+  if (__atomic_load_n(&m->seq, __ATOMIC_ACQUIRE) != seq) return -1;
   return (int64_t)n;
 }
 

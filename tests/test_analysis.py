@@ -141,8 +141,10 @@ def test_beamform_coherent_gain():
         u = np.clip(x / 0.05914 + 128.5, 0, 255).astype(np.uint8)
         dumps.append(bb.VoltageDump(samples=u, start_time=50.0,
                                     station_id=k + 1, sample_rate=RATE))
+    # delays_s[k] = how much EARLIER antenna k received (the documented
+    # convention, now honored: beamform internally DELAYS each stream)
     delays = np.array(shifts) / RATE
-    beam = bf.beamform(dumps, delays_s=-delays)
+    beam = bf.beamform(dumps, delays_s=delays)
     x = beam.voltages()
     p = (x ** 2).mean(axis=0)
     on = p[100_000:100_200].mean()
@@ -189,8 +191,11 @@ def test_localization_from_dumps():
     common += rng.standard_normal(n + 4000).astype(np.float32) * 0.3
     dumps = []
     for k in range(nant):
+        # PHYSICAL encoding: an antenna with larger r.s_hat is closer to
+        # the source and receives the wavefront EARLIER (features at
+        # smaller sample indices)
         shift = int(round(tau[k] * RATE))
-        sig = common[2000 - shift:2000 - shift + n]
+        sig = common[2000 + shift:2000 + shift + n]
         x = np.stack([sig, sig]) + rng.standard_normal((2, n)) * 0.5
         u = np.clip(x * 128 + 128.5, -0, 255).astype(np.uint8)
         dumps.append(bb.VoltageDump(samples=u, start_time=0.0,
@@ -245,3 +250,44 @@ def test_cyclic_autocorrelation_detects_modulation():
     # incommensurate cyclic frequency is rejected
     with pytest.raises(ValueError):
         bb.correlate(d, d, nfft=nfft, alpha_hz=RATE / nfft * 1.5)
+
+
+def test_beamform_toward_true_direction_not_mirror():
+    """beamform_toward(positions, az, el) must be coherent at the TRUE
+    direction and decorrelated at the mirror (az+pi): the delay sign
+    convention end-to-end (geometric_delays -> beamform alignment).
+    Regression: an inverted alignment sign put the coherent peak at the
+    mirror direction and below a single antenna at the true one."""
+    from vlite_fast_tpu.analysis import beamforming as bf
+    rng = np.random.default_rng(5)
+    nant, n = 4, 200_000
+    positions = rng.uniform(-6000, 6000, (nant, 3))
+    positions[:, 2] = 0.0
+    az_t, el_t = 2.2, 0.6
+    s_hat = loc.direction_unit(np.array(az_t), np.array(el_t))
+    tau = positions @ s_hat / loc.C_LIGHT
+    common = np.zeros(n + 4000, np.float32)
+    for i0 in range(100_000, 140_000, 1000):
+        common[i0:i0 + 3] = 3.0             # sharp coherent bursts
+    dumps = []
+    for k in range(nant):
+        sh = int(round(tau[k] * RATE))      # physical: closer = earlier
+        sig = common[2000 + sh:2000 + sh + n]
+        x = sig[None, :] + rng.standard_normal((2, n)).astype(np.float32)
+        u = np.clip(x / 0.05914 + 128.5, 0, 255).astype(np.uint8)
+        dumps.append(bb.VoltageDump(samples=u, start_time=0.0,
+                                    station_id=k + 1, sample_rate=RATE))
+
+    def snr(v):
+        p = (v.astype(np.float64) ** 2).mean(axis=0)
+        onidx = np.concatenate([np.arange(i0 - 2002, i0 - 1995)
+                                for i0 in range(100_000, 140_000, 1000)])
+        return (p[onidx].mean() - p[:50_000].mean()) / p[:50_000].mean()
+
+    s_beam = snr(bf.beamform_toward(dumps, positions, az_t,
+                                    el_t).voltages())
+    s_single = snr(dumps[0].voltages())
+    s_mirror = snr(bf.beamform_toward(dumps, positions, az_t + np.pi,
+                                      el_t).voltages())
+    assert s_beam > 2.5 * s_single > 0      # coherent gain at truth
+    assert s_beam > 3 * s_mirror            # mirror decorrelates

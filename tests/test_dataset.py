@@ -16,6 +16,7 @@ from vlite_fast_tpu.analysis.dataset import (BasebandFragment,
                                              BasebandFragments,
                                              load_dataset)
 from vlite_fast_tpu.utils import vdif
+from vlite_fast_tpu import constants as C
 
 RATE = 1_000_000
 FPS = RATE // 5000          # frames/s/pol at the tiny rate
@@ -137,7 +138,9 @@ def test_e2e_dumps_to_localization(tmp_path):
     common += 0.3 * rng.standard_normal(common.size)
     sec0 = 9
     for k in range(nant):
-        sig = frac_shift(common, tau[k] * RATE)[margin:margin + n + extra]
+        # physical: closer antennas (larger r.s_hat) receive EARLIER ->
+        # advance by tau (frac_shift delays, so pass -tau)
+        sig = frac_shift(common, -tau[k] * RATE)[margin:margin + n + extra]
         x = np.stack([sig, sig]) + 0.5 * rng.standard_normal(
             (2, sig.size))
         u = np.clip(x * 12.8 + 128.5, 0, 255).astype(np.uint8)
@@ -219,7 +222,7 @@ def test_cli_localize(tmp_path, capsys):
     common[rng.integers(margin, n, 40)] = 20.0
     common += 0.3 * rng.standard_normal(common.size)
     for k in range(nant):
-        sig = frac_shift(common, tau[k] * RATE)[margin:margin + n]
+        sig = frac_shift(common, -tau[k] * RATE)[margin:margin + n]
         x = np.stack([sig, sig]) + 0.5 * rng.standard_normal((2, n))
         u = np.clip(x * 12.8 + 128.5, 0, 255).astype(np.uint8)
         write_dump(tmp_path, f"a{k}.vdif", u, k + 1, 9, 0)
@@ -233,3 +236,35 @@ def test_cli_localize(tmp_path, capsys):
     res = json.loads(out[-1])
     assert abs(res["az_rad"] - az_true) < 0.15
     assert abs(res["el_rad"] - el_true) < 0.15
+
+
+def test_fragment_intra_file_gap_and_wrap(tmp_path):
+    """A dump file with a missing mid-file frame pair and a ring-wrap
+    rotation must decode with every sample at its true position (zeros in
+    the gap) — blind frame concatenation shifted everything after the
+    gap by one frame."""
+    rate = 25_000
+    fps = rate // 5000
+    samples = np.random.default_rng(8).integers(
+        1, 255, (2, rate * 2), dtype=np.uint8)
+    stream = vdif.streams_to_frames(samples, 40, 70, sample_rate=rate)
+    frames = stream.reshape(-1, C.VDIF_FRAME_BYTES)
+    # drop frame-pair index 3 (both pols) and rotate by 5 frame pairs
+    keep = np.ones(len(frames), bool)
+    keep[6:8] = False
+    frames = frames[keep]
+    frames = np.roll(frames, -10, axis=0)
+    p = tmp_path / "gappy.vdif"
+    frames.tofile(p)
+    frag = BasebandFragment.from_file(str(p), sample_rate=rate)
+    # start/nsamp reflect the true min/max frames, not file order
+    assert frag.start_sample == 70 * rate
+    assert frag.nsamp == 2 * rate
+    got = frag.load()
+    # gap (frame 3 of second 0) is zero-filled
+    gap0 = 3 * 5000
+    assert (got[:, gap0:gap0 + 5000] == 0).all()
+    # everything else is at its TRUE position
+    mask = np.ones(2 * rate, bool)
+    mask[gap0:gap0 + 5000] = False
+    np.testing.assert_array_equal(got[:, mask], samples[:, mask])

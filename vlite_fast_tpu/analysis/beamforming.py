@@ -45,10 +45,13 @@ def beamform(dumps: Sequence[VoltageDump],
              weights: Optional[np.ndarray] = None) -> VoltageDump:
     """Coherent sum of aligned antenna streams.
 
-    delays_s[i]: how much earlier antenna i received the wavefront than
-    the reference (positive -> stream advanced by that amount before the
-    sum).  Returns a synthetic 'dump' whose samples are the re-digitized
-    beam (scaled to keep unit variance).
+    delays_s[i]: how much EARLIER antenna i received the wavefront than
+    the reference.  An early stream's features sit at earlier sample
+    indices, so alignment DELAYS it by tau (shift toward later t) — a
+    +tau advance here would double the misalignment instead of removing
+    it (measured: beam peak 0.126 vs 0.98, below a single antenna).
+    Returns a synthetic 'dump' whose samples are the re-digitized beam
+    (scaled to keep unit variance).
     """
     dumps = re_order(dumps)
     nant = len(dumps)
@@ -60,7 +63,7 @@ def beamform(dumps: Sequence[VoltageDump],
     acc = None
     for d, tau, wgt in zip(dumps, delays_s, weights):
         x = jnp.asarray(d.voltages())
-        x = fractional_shift(x, jnp.float32(tau * rate))
+        x = fractional_shift(x, jnp.float32(-tau * rate))
         acc = wgt * x if acc is None else acc + wgt * x
     norm = float(np.sqrt(np.sum(np.asarray(weights) ** 2)))
     beam = np.asarray(acc) / norm

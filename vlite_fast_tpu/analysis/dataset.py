@@ -50,15 +50,24 @@ class BasebandFragment:
     @classmethod
     def from_file(cls, path: str,
                   sample_rate: int = C.VLITE_RATE) -> "BasebandFragment":
+        """Metadata from ALL frame headers, not frame 0: a dump that
+        starts mid-ring (frames rotated) or lost frames would otherwise
+        claim the wrong start and the wrong span."""
         nbytes = os.path.getsize(path)
         nframes = nbytes // C.VDIF_FRAME_BYTES
-        with open(path, "rb") as fp:
-            hdr = vdif.VDIFHeader.parse(fp.read(C.VDIF_HEADER_BYTES))
-        start = hdr.seconds * sample_rate + hdr.frame * C.VDIF_DATA_BYTES
+        raw = np.memmap(path, dtype=np.uint8,
+                        shape=(nframes, C.VDIF_FRAME_BYTES))
+        hdr = vdif.VDIFHeader.parse(raw[0, :C.VDIF_HEADER_BYTES].tobytes())
+        fields = vdif.parse_headers(
+            np.ascontiguousarray(raw[:, :C.VDIF_HEADER_BYTES]))
+        fps = sample_rate // C.VDIF_DATA_BYTES
+        slot = (fields["seconds"].astype(np.int64) * fps
+                + fields["frame"].astype(np.int64))
+        start = int(slot.min()) * C.VDIF_DATA_BYTES
+        nsamp = (int(slot.max()) + 1) * C.VDIF_DATA_BYTES - start
         return cls(path=path, station_id=hdr.station_id,
                    ref_epoch=hdr.ref_epoch, start_sample=start,
-                   nsamp=(nframes // 2) * C.VDIF_DATA_BYTES,
-                   sample_rate=sample_rate)
+                   nsamp=nsamp, sample_rate=sample_rate)
 
     @property
     def end_sample(self) -> int:
@@ -72,10 +81,15 @@ class BasebandFragment:
             + self.start_sample / self.sample_rate
 
     def load(self) -> np.ndarray:
-        """(npol, nsamp) uint8 (cached)."""
+        """(npol, nsamp) uint8 (cached).  Frames are placed by their
+        header positions (gap-filled with zeros, wrap/reorder tolerant)
+        so the integer-sample alignment the dataset layer guarantees
+        holds even for imperfect dumps."""
         if self._samples is None:
             raw = np.fromfile(self.path, dtype=np.uint8)
-            self._samples, _ = vdif.frames_to_streams(raw)
+            self._samples, start = vdif.frames_to_streams_placed(
+                raw, self.sample_rate)
+            assert start == self.start_sample
         return self._samples
 
     def continuity(self) -> unwrap_mod.ContinuityReport:

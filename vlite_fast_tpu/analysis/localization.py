@@ -28,9 +28,15 @@ def direction_unit(az: np.ndarray, el: np.ndarray) -> np.ndarray:
 
 def expected_delays(positions: np.ndarray, pairs: Sequence[Tuple[int, int]],
                     s_hat: np.ndarray) -> np.ndarray:
-    """Plane-wave arrival-time differences for each baseline (i, j):
-    tau_ij = (r_i - r_j) . s_hat / c.  s_hat may be (..., 3)."""
-    d = np.stack([positions[i] - positions[j] for i, j in pairs])  # (nb, 3)
+    """Plane-wave arrival-time differences t_i - t_j for each baseline
+    (i, j).  A wavefront from direction s_hat reaches antenna r at
+    t(r) = t0 - r.s_hat/c (antennas closer to the source receive
+    EARLIER), so tau_ij = (r_j - r_i) . s_hat / c — matching what
+    analysis.baseband.baseline_delay(a=i, b=j) measures.  The opposite
+    sign converges the TDOA fit on the MIRRORED azimuth (az_true + pi;
+    verified numerically on a physically-encoded plane wave).
+    s_hat may be (..., 3)."""
+    d = np.stack([positions[j] - positions[i] for i, j in pairs])  # (nb, 3)
     return np.einsum("bk,...k->...b", d, s_hat) / C_LIGHT
 
 

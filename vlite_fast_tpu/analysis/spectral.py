@@ -40,10 +40,15 @@ def fscrunch(fb: np.ndarray, n: int = 1) -> np.ndarray:
     if single:
         fb = fb[None]
     for _ in range(n):
-        new = np.empty((fb.shape[0], fb.shape[1] // 2 + 1), fb.dtype)
-        new[:, 0] = fb[:, 0]
-        new[:, 1:] = 0.5 * (fb[:, 1::2] + fb[:, 2::2])
-        fb = new
+        rest = fb[:, 1:]                    # DC stays unpaired
+        npair = rest.shape[1] // 2
+        cols = [fb[:, :1],
+                0.5 * (rest[:, 0:2 * npair:2] + rest[:, 1:2 * npair:2])]
+        if rest.shape[1] % 2:
+            # odd remainder (happens on the second halving of an
+            # nfft//2+1-channel filterbank): carry the last channel
+            cols.append(rest[:, -1:])
+        fb = np.concatenate(cols, axis=1)
     return fb[0] if single else fb
 
 

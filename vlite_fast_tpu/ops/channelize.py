@@ -146,12 +146,16 @@ def matmul_rfft_planes(frames: jax.Array, nfft: int,
 
 @lru_cache(maxsize=8)
 def _pfb_window(ntap: int, nfft: int) -> np.ndarray:
-    """Sinc-Hamming prototype filter, normalized so white-noise power is
-    preserved (sum of squares = ntap*nfft / nfft)."""
+    """Sinc-Hamming prototype filter, normalized so white-noise output
+    POWER matches the plain length-nfft channelizer: a WOLA spectrum sums
+    ntap*nfft weighted samples, so per-bin noise power is sum(w^2) times
+    the per-sample variance — sum(w^2) must equal nfft (a sum(w^2) =
+    ntap*nfft normalization made the PFB path exactly ntap x hotter than
+    the FFT path, verified on white noise)."""
     n = ntap * nfft
     t = (np.arange(n) - n / 2 + 0.5) / nfft
     w = np.sinc(t) * np.hamming(n)
-    w *= np.sqrt(n / np.sum(w ** 2))
+    w *= np.sqrt(nfft / np.sum(w ** 2))
     return w.astype(np.float32)
 
 

@@ -56,6 +56,10 @@ def dm_grid_tol(dm_min: float, dm_max: float, tsamp: float,
     smear(dDM) = K * dDM * (f_lo^-2 - f_hi^-2); step chosen with
     dDM = 2*sqrt(tol^2 - 1)*sqrt(tsamp^2 + w^2 + smear_chan^2)/sweep_rate.
     """
+    if tol <= 1.0:
+        raise ValueError(f"dm_tol must be > 1 (an S/N-loss FACTOR; "
+                         f"got {tol}): tol=1 means zero allowed loss, "
+                         "i.e. an infinitely fine grid")
     f = np.asarray(freqs_mhz, np.float64)
     sweep = C.DM_CONST_S * (f.min() ** -2.0 - f.max() ** -2.0)  # s per DM
     nchan = len(f)

@@ -82,10 +82,11 @@ def dequantize(packed: jax.Array, nbit: int) -> jax.Array:
     The in-graph inverse used by the search stage (heimdall likewise reads
     the quantized sigproc stream).  packed: (..., nbytes) ->
     (..., nbytes * 8//nbit)."""
-    lev = unpack_bits(packed, nbit).astype(jnp.float32)
+    lev = unpack_bits(packed, nbit)
     if nbit == 2:
         cent = jnp.asarray(_LEVEL2_CENTROIDS, jnp.float32)
-        return cent[unpack_bits(packed, nbit).astype(jnp.int32)]
+        return cent[lev.astype(jnp.int32)]
+    lev = lev.astype(jnp.float32)
     if nbit == 4:
         return (lev - C.QUANT4_OFFSET) * jnp.float32(C.QUANT4_SCALE)
     return (lev - C.QUANT8_OFFSET) * jnp.float32(C.QUANT8_SCALE)

@@ -212,6 +212,46 @@ def frames_to_streams(raw: np.ndarray, npol: int = 2,
     return np.stack([p[:n] for p in pols]), hdr
 
 
+def frames_to_streams_placed(raw: np.ndarray, sample_rate: int,
+                             npol: int = 2,
+                             data_bytes: int = C.VDIF_DATA_BYTES) -> tuple:
+    """Decode frames by their HEADER positions instead of file order.
+
+    Robust to dropped frames (their span stays zero — the capture
+    gap-fill convention), out-of-order frames, and ring-wrap rotation
+    (the db_unwrap case): each payload lands at the absolute per-pol
+    sample index its (seconds, frame#) header encodes.  The blind
+    concatenation of frames_to_streams silently shifts every sample
+    after an intra-file gap.
+
+    Returns (samples[npol, nsamp], start_sample) where start_sample is
+    the absolute per-pol index (since the VDIF ref epoch) of samples[:,0]
+    and nsamp spans min..max frame inclusive.  Requires sample_rate to be
+    a multiple of data_bytes (true for VLITE's 25600 frames/s and every
+    test geometry).
+    """
+    if sample_rate % data_bytes:
+        raise ValueError("sample_rate must be a multiple of the frame "
+                         "payload size for placed decoding")
+    fps = sample_rate // data_bytes
+    frame_bytes = data_bytes + HEADER_BYTES
+    raw = np.asarray(raw, dtype=np.uint8)
+    nframes = raw.size // frame_bytes
+    raw = raw[:nframes * frame_bytes].reshape(nframes, frame_bytes)
+    fields = parse_headers(raw[:, :HEADER_BYTES])
+    payload = raw[:, HEADER_BYTES:]
+    slot = (fields["seconds"].astype(np.int64) * fps
+            + fields["frame"].astype(np.int64))
+    slot0, slot1 = int(slot.min()), int(slot.max())
+    nslot = slot1 - slot0 + 1
+    out = np.zeros((npol, nslot, data_bytes), np.uint8)
+    for ipol in range(npol):
+        mask = (fields["thread_id"] != 0) == bool(ipol)
+        out[ipol, slot[mask] - slot0] = payload[mask]
+    return (out.reshape(npol, nslot * data_bytes),
+            slot0 * data_bytes)
+
+
 def streams_to_frames(samples: np.ndarray, ref_epoch: int, start_second: int,
                       start_frame: int = 0, station_id: int = 0,
                       sample_rate: int = C.VLITE_RATE) -> np.ndarray:
