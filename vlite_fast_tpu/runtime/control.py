@@ -61,9 +61,10 @@ class ObservationDocument:
                 f"SCANSTART {self.start_time:.6f}\nSCAN {self.scan_no}\n")
 
 
-# pointing-continuity threshold: 0.5 arcmin in radians, and max integration
-# before forcing a break (ref src/messenger.c:263-330)
-POINTING_TOL_RAD = 0.00873 / 2  # the reference compares total angular dist
+# pointing-continuity threshold (radians) and max integration before
+# forcing a break (ref src/messenger.c:263-330); ScanStateMachine takes
+# these as defaults
+POINTING_TOL_RAD = 0.00873
 MAX_INTEGRATION_S = 480.0
 
 
@@ -85,7 +86,7 @@ class ScanStateMachine:
       - otherwise              -> [STOP, START] with the new OD
     """
 
-    def __init__(self, pointing_tol: float = 0.00873,
+    def __init__(self, pointing_tol: float = POINTING_TOL_RAD,
                  max_integration: float = MAX_INTEGRATION_S):
         self.current: Optional[ObservationDocument] = None
         self.obs_start_time: float = 0.0
