@@ -103,10 +103,13 @@ def main():
             pulse_sec = int(best.peak_time)  # data-seconds from obs start
             cand_latency_wall = time.perf_counter() - feed_times.get(
                 min(pulse_sec, s), t0)
-            # gulp-bound latency in DATA time: samples between the pulse
-            # and the end of the gulp that surfaced it
-            cand_latency_data = (pipe._searched_to * cfg.tsamp
-                                 - best.peak_time)
+            # gulp-bound latency in DATA time: the pipeline records it as
+            # (end of the searched window incl. overlap) - pulse time —
+            # deriving it from the post-advance _searched_to understated
+            # the latency by the DM-1000 overlap (~12 s), the number ring
+            # depth must be sized against
+            cand_latency_data = pipe.metrics.get(
+                "vfast_cand_latency_data_s")
     prod = pipe.end_observation()
     wall = time.perf_counter() - t0
     integrated_rt = n_sec / wall

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -57,7 +58,8 @@ def cmd_process(args):
                             bandwidth_mhz=args.bandwidth)
     scfg = SearchConfig() if args.rate == 128_000_000 else \
         SearchConfig(dm_min=0, dm_max=args.dm_max, ndm=args.ndm,
-                     gulp_samps=512, boxcar_max=16, zap_ranges=())
+                     gulp_samps=512, boxcar_max=16, zap_ranges=(),
+                     dm_grid_mode="linear")
     st = StationPipeline(args.station, cfg, scfg, out_dir=args.out_dir,
                          keep_ring=False)
     secs = ((sec, buf) for sec, buf, _ in
@@ -76,23 +78,30 @@ def cmd_search(args):
     from vlite_fast_tpu.models.search import SinglePulseSearch
     from vlite_fast_tpu.utils import sigproc
 
+    from vlite_fast_tpu.ops import quantize as q_ops
+
     hdr, data = sigproc.read_filterbank(args.fil)
-    # recenter quantized levels like the in-pipeline search
+    # recenter quantized levels like the in-pipeline search (the SAME
+    # constants as ops/quantize.dequantize -- no drifting copies)
     if hdr.nbits == 2:
-        cent = np.array([-1.24, -0.098, 0.85, 1.94], np.float32)
+        cent = np.array(q_ops._LEVEL2_CENTROIDS, np.float32)
         data = cent[data.astype(np.int32)]
     elif hdr.nbits == 4:
-        data = (data - 7.5) * 0.3188
+        data = (data - C.QUANT4_OFFSET) * np.float32(C.QUANT4_SCALE)
     else:
-        data = (data - 127.5) * 0.02957
+        data = (data - C.QUANT8_OFFSET) * np.float32(C.QUANT8_SCALE)
     freqs = hdr.fch1 + np.arange(hdr.nchans) * hdr.foff
+    # an explicit --ndm asks for a FIXED grid; otherwise the production
+    # tolerance-driven grid runs (its size is set by dm_tol, not --ndm)
+    ndm = args.ndm if args.ndm is not None else 1024
+    mode = "linear" if args.ndm is not None else "tol"
     scfg = SearchConfig(dm_min=args.dm_min, dm_max=args.dm_max,
-                        ndm=args.ndm, gulp_samps=args.gulp,
+                        ndm=ndm, gulp_samps=args.gulp,
                         boxcar_max=args.boxcar, zap_ranges=(),
-                        snr_thresh=args.snr)
+                        snr_thresh=args.snr, dm_grid_mode=mode)
     eng = SinglePulseSearch(scfg, hdr.tsamp, freqs,
                             nsub=min(128, hdr.nchans),
-                            nbatch=min(args.ndm, 128))
+                            nbatch=min(ndm, 128))
     cands = eng.search_stream(data.astype(np.float32))
     for c in cands:
         print(c.to_line())
@@ -103,7 +112,9 @@ def cmd_waterfall(args):
     from vlite_fast_tpu.analysis.waterfall import (render_png,
                                                    waterfall_from_fil)
     wf, meta = waterfall_from_fil(args.fil)
-    out = args.out or args.fil.replace(".fil", ".png")
+    # splitext, never str.replace: a name without ".fil" must not make
+    # out == the input (render_png would overwrite the data file)
+    out = args.out or os.path.splitext(args.fil)[0] + ".png"
     render_png(wf, meta, out)
     print(out)
 
@@ -132,11 +143,10 @@ def cmd_join_dumps(args):
 
 
 def cmd_send_cmd(args):
-    from vlite_fast_tpu.runtime.control import (Command, CommandBus,
+    from vlite_fast_tpu.runtime.control import (Command,
                                                 ObservationDocument)
-    bus = CommandBus(port=None)
-    # direct TCP publish to a running leader would attach here; for the
-    # single-process case this validates + prints the message
+    # validates + prints the message (publishing rides the leader's
+    # manual telnet port; see `launch --manual-port`)
     od = None
     if args.name:
         od = ObservationDocument(name=args.name, scan_no=2)
@@ -389,7 +399,13 @@ def cmd_launch(args):
 
 
 def cmd_bench(args):
-    import bench
+    try:
+        import bench
+    except ImportError:
+        # bench.py lives at the repo root (a driver contract), not in
+        # the installed package
+        sys.exit("bench.py not importable: run `vlite-fast bench` from "
+                 "the repository root (or `python bench.py` there)")
     bench.main()
 
 
@@ -432,7 +448,9 @@ def main(argv=None):
     s.add_argument("fil")
     s.add_argument("--dm-min", type=float, default=2.0)
     s.add_argument("--dm-max", type=float, default=1000.0)
-    s.add_argument("--ndm", type=int, default=1024)
+    s.add_argument("--ndm", type=int, default=None,
+                   help="fixed linear DM-trial count; omit for the "
+                        "production tolerance-driven grid")
     s.add_argument("--gulp", type=int, default=30720)
     s.add_argument("--boxcar", type=int, default=64)
     s.add_argument("--snr", type=float, default=6.0)

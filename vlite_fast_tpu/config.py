@@ -177,10 +177,18 @@ class PipelineConfig:
             raise ValueError("dft_precision must be 'highest' or 'high' "
                              "(pure-bf16 'default' is too inaccurate; see "
                              "benchmarks/bench_dft_precision_tpu.py)")
+        if not 0 <= self.chanmin <= self.chanmax < self.nchan:
+            raise ValueError(
+                f"channel selection [{self.chanmin}, {self.chanmax}] "
+                f"outside 0..{self.nchan - 1} (nfft {self.nfft})")
         samples_per_byte = 8 // self.nbit
-        if (self.out_samps_per_seg * self.nchanout * self.npol_out) % samples_per_byte:
+        # per-ROW width is what pack_bits reshapes: the whole-segment
+        # product can be byte-commensurate while a row is not
+        if (self.nchanout * self.npol_out) % samples_per_byte:
             raise ValueError("channel/bit scheme is not byte-commensurate "
-                             "(ref src/process_baseband.cu:668-673)")
+                             "(nchanout*npol_out must divide by "
+                             f"{samples_per_byte} at {self.nbit}-bit; "
+                             "ref src/process_baseband.cu:668-673)")
 
     @classmethod
     def tiny(cls, **overrides) -> "PipelineConfig":

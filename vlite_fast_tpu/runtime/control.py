@@ -131,7 +131,10 @@ class CommandBus:
     {"cmd": "S", "od": {...}} — the multicast-group replacement.
     """
 
-    def __init__(self, port: Optional[int] = None):
+    def __init__(self, port: Optional[int] = None,
+                 bind_host: str = "127.0.0.1"):
+        # bind_host "0.0.0.0" for multi-host arrays (remote stations
+        # dial the leader's command bus; see cli launch --leader-addr)
         self._subs: List[Callable] = []
         self._clients: List[socket.socket] = []
         self._lock = threading.Lock()
@@ -141,7 +144,7 @@ class CommandBus:
         if port is not None:
             self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-            self._server.bind(("127.0.0.1", port))
+            self._server.bind((bind_host, port))
             self._server.listen(32)
             self._server.settimeout(0.2)
             self._running = True

@@ -39,16 +39,24 @@ class Leader:
                  waterfall: bool = False):
         self.acfg = acfg
         self.log = make_logger("leader")
+        local = ("", "localhost", "127.0.0.1")
+        multi_host = any(a.host not in local for a in acfg.antennas)
+        bind = "0.0.0.0" if multi_host else "127.0.0.1"
         self.messenger = Messenger(MessengerConfig(
             obsinfo_port=obsinfo_port,
             command_port=acfg.command_port,
+            bind_host=bind,
             archive_dir=out_dir + "/obsinfo"))
-        endpoints = [("127.0.0.1", acfg.trigger_port_base + a.station_id)
+        # trigger fanout dials each station on ITS host (config/hosts
+        # column; local stations stay on loopback)
+        endpoints = [(a.host if a.host not in local else "127.0.0.1",
+                      acfg.trigger_port_base + a.station_id)
                      for a in acfg.antennas]
         self.sender = TriggerSender(endpoints)
         self.coincidencer = CoincidencerServer(
             port=acfg.coincidencer_port, tsamp=acfg.pipeline.tsamp,
-            tcfg=acfg.trigger, on_trigger=self.sender.send)
+            tcfg=acfg.trigger, on_trigger=self.sender.send,
+            host=bind)
         self._manual_srv = None
         self._running = True
         if manual_port is not None:

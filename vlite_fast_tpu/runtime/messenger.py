@@ -30,6 +30,7 @@ from vlite_fast_tpu.utils.log import Metrics, make_logger
 class MessengerConfig:
     obsinfo_port: Optional[int] = None    # UDP XML in (None = injected only)
     command_port: Optional[int] = None    # TCP CommandBus out
+    bind_host: str = "127.0.0.1"          # "0.0.0.0" for multi-host arrays
     archive_dir: Optional[str] = None     # obsinfo/antprop file archive
     pointing_tol: float = 0.00873
     max_integration: float = 480.0
@@ -49,7 +50,7 @@ class Messenger:
         from vlite_fast_tpu.runtime.sources import SourceWhitelist
         self.sources = (SourceWhitelist.load(cfg.sources_file)
                         if cfg.sources_file else SourceWhitelist())
-        self.bus = CommandBus(port=cfg.command_port)
+        self.bus = CommandBus(port=cfg.command_port, bind_host=cfg.bind_host)
         self.last_antprop: Optional[vla_xml.AntPropDocument] = None
         self.alerts: List[vla_xml.AlertDocument] = []
         self._sock = None
