@@ -103,3 +103,38 @@ def test_launch_print_remote_plan(tmp_path, capsys):
     assert f"--coincidencer 10.0.0.9:24155" in lines[0]
     assert "--station 3" in lines[1] and "ssh vd03" in lines[1]
     assert "--trigger-port 24203" in lines[1]
+
+
+def test_leader_binds_wildcard_for_remote_arrays(tmp_path):
+    """With any remote antenna host, the leader's command bus and
+    coincidencer must bind 0.0.0.0 (remote stations dial in) and trigger
+    fanout must target each station's own host."""
+    from vlite_fast_tpu.runtime.leader_main import Leader
+    acfg = ArrayConfig(
+        antennas=(AntennaConfig(1, "ea01", host="vd01"),
+                  AntennaConfig(2, "ea02")),             # local
+        pipeline=PipelineConfig.tiny(), search=SearchConfig.tiny(),
+        trigger=TriggerConfig(),
+        command_port=25101, coincidencer_port=25155,
+        trigger_port_base=25200)
+    led = Leader(acfg, str(tmp_path))
+    try:
+        assert led.messenger.bus._server.getsockname()[0] == "0.0.0.0"
+        assert led.coincidencer._srv.getsockname()[0] == "0.0.0.0"
+        assert led.sender.endpoints == [("vd01", 25201),
+                                        ("127.0.0.1", 25202)]
+    finally:
+        led.shutdown()
+
+    # all-local arrays stay on loopback (no open wildcard ports)
+    acfg2 = ArrayConfig(
+        antennas=(AntennaConfig(1, "ea01"), AntennaConfig(2, "ea02")),
+        pipeline=PipelineConfig.tiny(), search=SearchConfig.tiny(),
+        trigger=TriggerConfig(),
+        command_port=25111, coincidencer_port=25156,
+        trigger_port_base=25300)
+    led2 = Leader(acfg2, str(tmp_path))
+    try:
+        assert led2.messenger.bus._server.getsockname()[0] == "127.0.0.1"
+    finally:
+        led2.shutdown()
