@@ -115,6 +115,12 @@ class CoincidencerServer:
             self.utc_groups[utc][beam].extend(cands)
             per_beam = {b: list(cs)
                         for b, cs in self.utc_groups[utc].items()}
+            # a weeks-long service must not accrue every observation's
+            # groups: keep the most recent few (one group per obs UTC)
+            while len(self.utc_groups) > 64:
+                oldest = next(iter(self.utc_groups))
+                del self.utc_groups[oldest]
+                self.sent.pop(oldest, None)
         coincided = trig.coincidence(per_beam, self.tsamp,
                                      delta_dm=self.tcfg.delta_dm,
                                      delta_w=self.tcfg.delta_w)
