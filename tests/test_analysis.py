@@ -67,8 +67,10 @@ def test_correlation_and_delay():
     a, common = make_dump(delay_samples=0, seed=4, common=common)
     b, _ = make_dump(delay_samples=7, seed=5, common=common, station=2)
     delay, snr = bb.baseline_delay(a, b, nfft=500)
-    # b's stream is the common signal advanced by 7 samples
-    assert abs(abs(delay) - 7 / RATE) < 1.5 / RATE
+    # b's stream is the common signal ADVANCED by 7 samples (b earlier),
+    # so tau_a - tau_b = +7 samples: the SIGN is part of the contract
+    # (a double-abs here could not catch an inverted convention)
+    assert abs(delay * RATE - 7.0) < 1.5
     assert snr > 10
 
 
@@ -130,8 +132,12 @@ def test_beamform_coherent_gain():
     rng = np.random.default_rng(20)
     n = 200_000
     pulse = np.zeros(n, np.float32)
-    pulse[100_000:100_200] = 2.0     # common burst
-    common = rng.standard_normal(n).astype(np.float32) * 0.0 + pulse
+    # SHARP bursts (3 samples), narrower than every shift below: a
+    # sign-inverted alignment (2*shift misalignment) then decorrelates —
+    # a wide burst would still overlap itself and pass
+    for i0 in range(100_000, 140_000, 1000):
+        pulse[i0:i0 + 3] = 4.0
+    common = pulse
     shifts = [0, 17, -9, 25]
     dumps = []
     for k, sh in enumerate(shifts):
@@ -145,14 +151,13 @@ def test_beamform_coherent_gain():
     # convention, now honored: beamform internally DELAYS each stream)
     delays = np.array(shifts) / RATE
     beam = bf.beamform(dumps, delays_s=delays)
-    x = beam.voltages()
-    p = (x ** 2).mean(axis=0)
-    on = p[100_000:100_200].mean()
-    off = p[:50_000].mean()
+    onidx = np.concatenate([np.arange(i0, i0 + 3)
+                            for i0 in range(100_000, 140_000, 1000)])
+    def burst_power(v):
+        p = (v ** 2).mean(axis=0)
+        return p[onidx].mean() - p[:50_000].mean()
     # coherent gain: signal power ~ N * single-antenna, noise stays ~1
-    single = (dumps[0].voltages() ** 2).mean(axis=0)
-    gain = (on - off) / (single[100_000:100_200].mean()
-                         - single[:50_000].mean())
+    gain = burst_power(beam.voltages()) / burst_power(dumps[0].voltages())
     assert gain > 2.5   # ideal 4 antennas -> 4x power
 
 

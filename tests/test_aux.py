@@ -127,7 +127,7 @@ class TestSpectral:
         from vlite_fast_tpu.analysis import spectral
         n = 4096
         t = np.arange(n)
-        # tone at 0.2 of the real Nyquist
+        # tone at 0.2 cycles/sample (= 0.4 of the real Nyquist)
         x = np.cos(2 * np.pi * 0.2 * t).astype(np.float32)
         z = spectral.real_to_complex(x, shift_band=False)
         assert z.dtype == np.complex64 and len(z) == n // 2

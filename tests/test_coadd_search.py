@@ -42,8 +42,7 @@ def per_ant_fb():
 
 
 def _best_snr(cfg, fb):
-    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                - 0.5) * cfg.chan_bw_mhz
+    freqs = cfg.freqs_mhz()
     scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61, gulp_samps=512,
                        boxcar_max=16, zap_ranges=(), snr_thresh=5.0)
     eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,

@@ -29,6 +29,20 @@ def test_delay_table_monotonic():
     assert np.all(d[1] >= d[0])
 
 
+def test_delay_table_absolute_value():
+    # hand-computed cold-plasma delay (an INDEPENDENT oracle: every other
+    # dedispersion test shares dd.delay_table on both sides, so a wrong
+    # DM constant or scale would be invisible to them):
+    # dt = 4148.808 * DM * (f_lo^-2 - f_hi^-2) seconds, f in MHz
+    d = dd.delay_table(np.array([100.0]), np.array([384.0, 324.0]), 1e-3)
+    expect = 4148.808 * 100.0 * (324.0 ** -2 - 384.0 ** -2)  # seconds
+    assert d[0, 0] == 0
+    assert d[0, 1] == round(expect / 1e-3)    # = 1139 samples at 1 ms
+    # independent cross-check in GHz units (4.15 ms * DM * f_GHz^-2 form)
+    expect_ghz = 4.15e-3 * 100.0 * (0.324 ** -2 - 0.384 ** -2)
+    assert abs(expect - expect_ghz) < 0.002 * expect
+
+
 def test_exact_plan_matches_oracle():
     fb, freqs, _ = make_fb()
     dms = dd.dm_grid(0, 300, 32)
@@ -112,6 +126,16 @@ def test_boxcar_snr_oracle():
     assert abs(it - 107) <= 1
     # matched-filter S/N ~ amp * sqrt(w) = 4*sqrt(8) ~ 11
     assert 8.0 < snr[3, 2, 107] < 15.0
+    # FULL oracle: an independent numpy cumsum matched filter with the
+    # same robust noise estimate (median |dev| * 1.4826)
+    x = dmt - dmt.mean(axis=1, keepdims=True)
+    sigma = np.maximum(1.4826 * np.median(np.abs(x), axis=1), 1e-6)
+    cs = np.concatenate([np.zeros((ndm, 1)), np.cumsum(x, axis=1)], axis=1)
+    for iw, w in enumerate((1, 2, 4, 8, 16)):
+        box = cs[:, w:] - cs[:, :-w]
+        ref = np.concatenate([np.zeros((ndm, w - 1)), box], axis=1) \
+            / sigma[:, None] / np.sqrt(w)
+        np.testing.assert_allclose(snr[iw], ref, rtol=2e-4, atol=2e-4)
 
 
 def test_find_candidates():

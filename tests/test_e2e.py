@@ -49,8 +49,7 @@ def test_filterbank_statistics(fb_setup):
 
 def test_pulse_recovered_at_dm(fb_setup):
     cfg, synth, info, fb = fb_setup
-    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                - 0.5) * cfg.chan_bw_mhz
+    freqs = cfg.freqs_mhz()
     scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=121, gulp_samps=512,
                         boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
     eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
@@ -70,8 +69,7 @@ def test_pulse_recovered_2bit():
     filterbank (the reference's default NBIT=2,
     ref process_baseband.cu:34)."""
     cfg, synth, info, fb = make_filterbank(nbit=2)
-    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                - 0.5) * cfg.chan_bw_mhz
+    freqs = cfg.freqs_mhz()
     scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=121, gulp_samps=512,
                         boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
     eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
@@ -146,8 +144,7 @@ def test_no_candidates_on_pure_noise():
                                 jnp.asarray(False))
     fb = search_mod.filterbank_from_packed(np.asarray(out.packed_kur),
                                            cfg.nbit, cfg.nchanout)
-    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                - 0.5) * cfg.chan_bw_mhz
+    freqs = cfg.freqs_mhz()
     scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61, gulp_samps=256,
                         boxcar_max=8, zap_ranges=(), snr_thresh=8.0)
     eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
@@ -185,8 +182,7 @@ def test_search_gulp_packed_matches_unpacked():
     scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61, gulp_samps=512,
                         boxcar_max=16, zap_ranges=(), snr_thresh=6.0,
                         dm_grid_mode="linear")
-    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                - 0.5) * cfg.chan_bw_mhz
+    freqs = cfg.freqs_mhz()
     eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, freqs,
                                        nsub=16, nbatch=61)
     n = scfg.gulp_samps + eng.overlap

@@ -154,6 +154,17 @@ class PipelineConfig:
     def fch1_mhz(self) -> float:
         return self.freq_top_mhz + (self.chanmin - 0.5) * self.chan_bw_mhz
 
+    def freqs_mhz(self):
+        """Sky frequency of each RETAINED channel (chanmin..chanmax),
+        channel centers, descending (negative chan_bw).  The single
+        source of the channel->frequency mapping — runtime, sharded step,
+        and tests must all use this (a convention fix in one copy-pasted
+        site would otherwise be invisible to the others)."""
+        import numpy as _np
+        return self.freq_top_mhz + (
+            _np.arange(self.chanmin, self.chanmax + 1) - 0.5
+        ) * self.chan_bw_mhz
+
     def __post_init__(self):
         if self.seg_samps % self.nfft:
             raise ValueError("seg_samps must be a multiple of nfft")

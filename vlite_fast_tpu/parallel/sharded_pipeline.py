@@ -56,8 +56,7 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
     ntblk = mesh.shape["time"]
     out_samps = nsec_per_block * cfg.seg_per_sec * cfg.out_samps_per_seg
 
-    freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                - 0.5) * cfg.chan_bw_mhz
+    freqs = cfg.freqs_mhz()
     dms = search_mod.make_dm_grid(scfg, cfg.tsamp, freqs)
     plan = dd.make_plan(dms, freqs, cfg.tsamp, nsub=min(64, cfg.nchanout),
                         nbatch=min(scfg.ndm, 64),

@@ -196,8 +196,7 @@ class StationPipeline:
             self.ring = RingBuffer(f"/vfast_bb_{station_id:02d}",
                                    bufsz=sec_bytes, nbufs=ring_seconds,
                                    create=True)
-        freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                    - 0.5) * cfg.chan_bw_mhz
+        freqs = cfg.freqs_mhz()
         self.search = search_mod.SinglePulseSearch(
             scfg, cfg.tsamp, freqs,
             nsub=min(128, cfg.nchanout), nbatch=min(scfg.ndm, 128))
@@ -466,8 +465,7 @@ class CoaddSearcher:
         self.cfg, self.scfg = cfg, scfg
         self._all_station_ids = list(station_ids)
         self.station_ids = list(station_ids)
-        freqs = cfg.freq_top_mhz + (np.arange(cfg.chanmin, cfg.chanmax + 1)
-                                    - 0.5) * cfg.chan_bw_mhz
+        freqs = cfg.freqs_mhz()
         self.search = search_mod.SinglePulseSearch(
             scfg, cfg.tsamp, freqs,
             nsub=nsub or min(128, cfg.nchanout),
