@@ -25,9 +25,56 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# Backend-outage hardening: the tunneled axon TPU goes UNAVAILABLE for
+# stretches (init blocks minutes then raises) — the round-2 capture was
+# voided exactly this way.  Probe the backend in a SUBPROCESS with a
+# bounded retry/backoff budget before committing the real run, so a
+# recoverable outage costs minutes, not the round.
+PROBE_TIMEOUT_S = int(os.environ.get("VFAST_BENCH_PROBE_TIMEOUT", "300"))
+PROBE_BUDGET_S = int(os.environ.get("VFAST_BENCH_PROBE_BUDGET", "900"))
+PROBE_BACKOFF_S = 60
+
+
+def _backend_ready() -> bool:
+    """One subprocess probe: can jax see a device within the timeout?"""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) > 0"],
+            timeout=PROBE_TIMEOUT_S, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend() -> None:
+    """Retry the probe with backoff until it passes or the budget runs
+    out; on exhaustion still fall through to the real attempt (nothing
+    is lost vs failing immediately, and init may yet succeed)."""
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        if _backend_ready():
+            if attempt > 1:
+                print(f"bench: backend up after {attempt} probes "
+                      f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+            return
+        waited = time.monotonic() - t0
+        if waited >= PROBE_BUDGET_S:
+            print(f"bench: backend probe budget exhausted "
+                  f"({waited:.0f}s, {attempt} attempts); attempting the "
+                  "run anyway", file=sys.stderr)
+            return
+        print(f"bench: backend unavailable (probe {attempt}); retrying "
+              f"in {PROBE_BACKOFF_S}s", file=sys.stderr)
+        time.sleep(PROBE_BACKOFF_S)
 
 
 def main():
@@ -138,4 +185,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    wait_for_backend()
+    try:
+        main()
+    except Exception as exc:  # one re-exec on a transient backend raise:
+        # in-process backend state is poisoned after a failed init, so a
+        # fresh interpreter is the only safe retry
+        transient = any(s in repr(exc) for s in
+                        ("UNAVAILABLE", "Unable to initialize",
+                         "DEADLINE_EXCEEDED"))
+        if transient and not os.environ.get("VFAST_BENCH_RETRIED"):
+            print(f"bench: transient backend failure ({exc!r}); "
+                  "re-probing and re-executing once", file=sys.stderr)
+            env = dict(os.environ, VFAST_BENCH_RETRIED="1")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
+        raise

@@ -55,8 +55,14 @@ int64_t udp_drain(int fd, void* buf, uint64_t frame_bytes,
         break;                       // drained / interrupted: normal
       // fatal socket error (EBADF, ENOBUFS, ...): surface it — but not
       // at the cost of frames already drained; the NEXT call (kept==0)
-      // returns -1 and the caller stops polling a dead socket
-      if (kept == 0) return -1;
+      // returns -1 and the caller stops polling a dead socket.  Flush
+      // the anomalous count first: datagrams dropped in earlier chunks
+      // of this call must reach the writer-style abort accounting even
+      // on the error path.
+      if (kept == 0) {
+        if (anomalous) *anomalous += bad;
+        return -1;
+      }
       break;
     }
     if (n == 0) break;

@@ -86,3 +86,63 @@ def test_coadd_candidate_raises_trigger(array_run):
     t = max(result["triggers"], key=lambda t: t.sn)
     assert t.sn > 7.5
     assert abs(t.dm - DM) < 100.0
+
+
+class TestCoaddTapResync:
+    """ADVICE r2: CoaddSearcher.tap must verify lockstep via the offset,
+    zero-filling gaps and dropping duplicates instead of silently summing
+    misaligned time ranges."""
+
+    def _searcher(self):
+        from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+        from vlite_fast_tpu.runtime.pipeline import CoaddSearcher
+        cfg = PipelineConfig.tiny()
+        scfg = SearchConfig.tiny(gulp_samps=1 << 20)  # never auto-search
+        return cfg, CoaddSearcher([0, 1], cfg, scfg)
+
+    def _blk(self, cfg, n, byte=0xFF):
+        import numpy as np
+        return np.full((n, cfg.nchanout * cfg.nbit // 8), byte, np.uint8)
+
+    def test_gap_zero_filled(self):
+        import numpy as np
+        cfg, cs = self._searcher()
+        n = 32
+        b = self._blk(cfg, n)
+        cs.tap(0, 0, b)
+        cs.tap(1, 0, b)
+        assert cs._co.total == n
+        cs.tap(0, n, b)
+        cs.tap(1, 2 * n, b)       # station 1 dropped [n, 2n)
+        cs.tap(0, 2 * n, b)
+        assert cs._co.total == 3 * n
+        full = np.asarray(cs._co.window(0, n), np.float32)
+        gap = np.asarray(cs._co.window(n, 2 * n), np.float32)
+        # the gap region sums one stream instead of two: half the power
+        assert np.allclose(gap, full / 2, atol=1e-3)
+        tail = np.asarray(cs._co.window(2 * n, 3 * n), np.float32)
+        assert np.allclose(tail, full, atol=1e-3)
+
+    def test_duplicate_dropped(self):
+        cfg, cs = self._searcher()
+        n = 32
+        b = self._blk(cfg, n)
+        cs.tap(0, 0, b)
+        cs.tap(1, 0, b)
+        cs.tap(1, 0, b)           # full re-delivery: must be dropped
+        assert cs._co.total == n
+        assert not cs._pending[1]
+        cs.tap(0, n, b)
+        cs.tap(1, n, b)           # lockstep resumes cleanly
+        assert cs._co.total == 2 * n
+
+    def test_partial_overlap_trimmed(self):
+        cfg, cs = self._searcher()
+        n = 32
+        b = self._blk(cfg, n)
+        cs.tap(0, 0, b)
+        cs.tap(1, 0, b)
+        # station 1 re-sends the last half second plus new data
+        cs.tap(1, n // 2, b)      # covers [n/2, 3n/2): keep [n, 3n/2)
+        cs.tap(0, n, self._blk(cfg, n // 2))
+        assert cs._co.total == n + n // 2

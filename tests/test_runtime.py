@@ -320,3 +320,45 @@ def test_station_pipeline_memory_bounded():
     early = float(np.median(times[4:16]))
     late = float(np.median(times[n_sec - 12:]))
     assert late < 5 * max(early, 1e-3), (early, late)
+
+
+class TestAssemblerDuplicates:
+    """ADVICE r2: duplicate / out-of-order frames must never overwrite
+    already-placed payloads (first arrival wins, both feed paths)."""
+
+    def test_feed_keeps_first_arrival(self):
+        rate = 50_000
+        asm = SecondAssembler(sample_rate=rate)
+        good = np.full(C.VDIF_DATA_BYTES, 200, np.uint8)
+        corrupt = np.zeros(C.VDIF_DATA_BYTES, np.uint8)
+        fps = rate // C.VDIF_DATA_BYTES
+        done = []
+        done += asm.feed(8, 0, 0, good)
+        done += asm.feed(8, 0, 1, good)
+        done += asm.feed(8, 1, 0, good)
+        done += asm.feed(8, 1, 0, corrupt)   # corrupt duplicate
+        for f in range(2, fps):
+            for th in (0, 1):
+                done += asm.feed(8, f, th, good)
+        done += asm.feed(9, 0, 0, good)
+        _, buf = done[0]
+        lo = C.VDIF_DATA_BYTES
+        assert np.all(buf[0, lo:lo + C.VDIF_DATA_BYTES] == 200)
+        assert asm.stats.anomalous >= 1
+
+    def test_feed_stream_keeps_first_arrival(self):
+        rate = 50_000
+        samples = np.random.default_rng(1).integers(
+            1, 255, (2, rate * 2), dtype=np.uint8)
+        stream = vdif.streams_to_frames(samples, ref_epoch=40,
+                                        start_second=55, sample_rate=rate)
+        frames = stream.reshape(-1, C.VDIF_FRAME_BYTES)
+        # duplicate frame 4 (a mid-second pol-0 frame) with zeroed payload
+        dup = frames[4].copy()
+        dup[C.VDIF_HEADER_BYTES:] = 0
+        frames = np.concatenate([frames[:6], dup[None], frames[6:]])
+        asm = SecondAssembler(sample_rate=rate)
+        done = asm.feed_stream(frames.reshape(-1))
+        assert [s for s, _ in done] == [55]
+        np.testing.assert_array_equal(done[0][1], samples[:, :rate])
+        assert asm.stats.anomalous == 1

@@ -119,3 +119,27 @@ def test_window_merge():
     trigs = trig.make_triggers(out, 0.0, cfg)
     assert len(trigs) == 1
     assert trigs[0].sn == 15.0
+
+
+def test_trigger_legacy_wire_format():
+    """The reference's Python coincidencer packs 'dd128s' (144 B,
+    src/trigger.py:174) while its C dumper expects the full trigger_t
+    (src/utils.h:47-57) — our canonical format.  unpack() must accept
+    the short legacy datagram and default the missing fields."""
+    import struct
+    t = trig.Trigger(t0=1.5, t1=3.25, sn=12.5, dm=80.0, width=0.004,
+                     peak_time=2.0, meta="legacy")
+    legacy = t.pack_legacy()
+    assert len(legacy) == struct.calcsize("<dd128s")
+    t2 = trig.Trigger.unpack(legacy)
+    assert t2.t0 == 1.5 and t2.t1 == 3.25 and t2.meta == "legacy"
+    assert t2.sn == 0.0 and t2.dm == 0.0
+    # canonical stays byte-compatible with the C struct layout
+    assert len(t.pack()) == struct.calcsize("<ddffff128s")
+
+
+def test_coadd_snr_bar_above_beam_bar():
+    """Coadd-beam candidates bypass min_beams, so their default S/N bar
+    must sit ABOVE the per-beam trigger threshold (ADVICE r2)."""
+    cfg = TriggerConfig()
+    assert cfg.coadd_snr_thresh > cfg.snr_thresh

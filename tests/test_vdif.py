@@ -58,3 +58,27 @@ def test_unix_time():
     h = vdif.VDIFHeader(seconds=0, frame=0, ref_epoch=40)
     import calendar
     assert h.unix_time == calendar.timegm((2020, 1, 1, 0, 0, 0))
+
+
+def test_placed_decoding_bounds_corrupt_span():
+    """ADVICE r2: a corrupt header's garbage seconds field must raise a
+    continuity error, not size the output buffer to terabytes."""
+    import numpy as np
+    import pytest
+    from vlite_fast_tpu import constants as C
+    from vlite_fast_tpu.utils import vdif
+    rate = 50_000
+    samples = np.random.default_rng(2).integers(
+        1, 255, (2, rate), dtype=np.uint8)
+    stream = vdif.streams_to_frames(samples, ref_epoch=40,
+                                    start_second=100, sample_rate=rate)
+    frames = stream.reshape(-1, C.VDIF_FRAME_BYTES).copy()
+    # corrupt one header: absurd seconds value
+    bad_hdr = vdif.pack_headers(np.array([10_000_000]), np.array([0]),
+                                40, np.array([0]), 0)
+    frames[3, :C.VDIF_HEADER_BYTES] = bad_hdr[0]
+    with pytest.raises(ValueError, match="corrupt header"):
+        vdif.frames_to_streams_placed(frames.reshape(-1), rate)
+    # sane streams still decode
+    out, start = vdif.frames_to_streams_placed(stream, rate)
+    np.testing.assert_array_equal(out, samples)

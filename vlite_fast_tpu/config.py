@@ -286,8 +286,9 @@ class TriggerConfig:
 
     snr_thresh: float = C.TRIGGER_SNR
     # coadded-stream candidates carry the whole array's vote: no
-    # min_beams cut, slightly higher S/N bar (the agtriggerhook role)
-    coadd_snr_thresh: float = C.TRIGGER_SNR
+    # min_beams cut, so the S/N bar is HIGHER to compensate for the
+    # missing coincidence gate (see constants.TRIGGER_COADD_SNR)
+    coadd_snr_thresh: float = C.TRIGGER_COADD_SNR
     min_beams: int = C.TRIGGER_MIN_BEAMS
     max_width_s: float = C.TRIGGER_MAX_WIDTH_S
     min_dm: float = C.TRIGGER_MIN_DM

@@ -118,6 +118,13 @@ INJECT_PERIOD_S = 60
 # Trigger / coincidence defaults (ref: src/trigger.py:45,148, trigger.py:32)
 # ---------------------------------------------------------------------------
 TRIGGER_SNR = 7.5
+# Coadd-beam candidates bypass the min_beams coincidence cut (the whole
+# array already voted through the sum), so a lone Gaussian fluctuation in
+# ONE stream must not clear the same bar multi-beam coincidence gates.
+# 9.0 sigma ~ the joint false-alarm rate of two independent 7.5-sigma
+# beams over the per-gulp trial count; real broadband events gain
+# sqrt(N) in the coadd and clear it easily.
+TRIGGER_COADD_SNR = 9.0
 TRIGGER_MIN_BEAMS = 2
 TRIGGER_MAX_WIDTH_S = 0.5
 TRIGGER_MIN_DM = 20.0

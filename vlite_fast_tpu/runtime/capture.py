@@ -112,20 +112,25 @@ class SecondAssembler:
         return (np.asarray(seconds, np.int64) * (2 * self.frames_per_sec)
                 + np.asarray(frames, np.int64) * 2 + thread)
 
-    def _account_gap(self, seconds: int, frame: int, thread: int) -> None:
+    def _account_gap(self, seconds: int, frame: int, thread: int) -> bool:
         """Dual-pol frame-index arithmetic (ref writer.c:310-342): any jump
-        of more than 1 means frames were lost and will stay zero-filled."""
+        of more than 1 means frames were lost and will stay zero-filled.
+        Returns True if the frame ADVANCES the stream; False for
+        duplicates/out-of-order frames, whose payload must not be placed
+        (a corrupt duplicate arriving after the good frame would
+        overwrite valid samples — keep first-arrival payloads only)."""
         idx = int(self._frame_index(seconds, frame, thread))
         if self._last_index is not None:
             diff = idx - self._last_index
             if diff <= 0:
                 self.stats.anomalous += 1
                 self._maybe_warn()
-                return
+                return False
             if diff > 1:
                 self.stats.skipped += diff - 1
                 self._maybe_warn()
         self._last_index = idx
+        return True
 
     def _maybe_warn(self) -> None:
         s = self.stats
@@ -164,7 +169,8 @@ class SecondAssembler:
             self._started = True
             self._current_sec = seconds
             self._check_wallclock(seconds)
-        self._account_gap(seconds, frame, thread)
+        if not self._account_gap(seconds, frame, thread):
+            return done           # duplicate/rewind: never place payload
         if seconds != self._current_sec:
             if seconds < self._current_sec:
                 return done       # counted as anomalous by _account_gap
@@ -230,22 +236,30 @@ class SecondAssembler:
             cur = self._current_sec
             while j < nframes and secs[j] == cur and frm[j] < fps:
                 j += 1
-            pol = (thr[i:j] != 0).astype(np.int64)
-            bufv = self._buf.reshape(2, fps, C.VDIF_DATA_BYTES)
-            bufv[pol, frm[i:j]] = payload_view[i:j]
-            # gap + order accounting over the run in one pass
+            # gap + order accounting over the run in one pass; frames
+            # whose dual-pol index does not advance past the running max
+            # (duplicates / out-of-order arrivals) are counted anomalous
+            # and their payload is NOT placed — first arrival wins (a
+            # corrupt duplicate must not overwrite good samples)
             idx = self._frame_index(secs[i:j], frm[i:j], thr[i:j])
             prev = self._last_index if self._last_index is not None \
                 else idx[0] - 1
+            run_max = np.maximum.accumulate(
+                np.concatenate([[prev], idx]))[:-1]
+            keep = idx > run_max
             d = np.diff(np.concatenate([[prev], idx]))
-            bad = int((d <= 0).sum())
+            bad = int((~keep).sum())
             self.stats.anomalous += bad
             self.stats.skipped += int(d[d > 1].sum() - (d > 1).sum())
             if bad or (d > 1).any():
                 self._maybe_warn()
-            self._last_index = int(idx[-1])
-            self.stats.frames += j - i
-            self._filled += j - i
+            pol = (thr[i:j][keep] != 0).astype(np.int64)
+            bufv = self._buf.reshape(2, fps, C.VDIF_DATA_BYTES)
+            bufv[pol, frm[i:j][keep]] = payload_view[i:j][keep]
+            self._last_index = int(max(int(idx.max()), prev))
+            nkept = j - i - bad
+            self.stats.frames += nkept
+            self._filled += nkept
             i = j
         return done
 

@@ -472,6 +472,8 @@ class CoaddSearcher:
             nbatch=nbatch or min(scfg.ndm, 128))
         self._pending: Dict[int, List[np.ndarray]] = {
             sid: [] for sid in self.station_ids}
+        self._next_offset: Dict[int, int] = {
+            sid: 0 for sid in self.station_ids}
         self._co = GulpStream()
         self._searched_to = 0
         self.cands: List[dd.Candidate] = []
@@ -480,6 +482,7 @@ class CoaddSearcher:
     def reset(self) -> None:
         self.station_ids = list(self._all_station_ids)  # un-retire
         self._pending = {sid: [] for sid in self.station_ids}
+        self._next_offset = {sid: 0 for sid in self.station_ids}
         self._co, self._searched_to = GulpStream(), 0
         self.cands = []
 
@@ -487,10 +490,37 @@ class CoaddSearcher:
         """StationPipeline block tap: collect, and coadd whatever sample
         range every station has now delivered.  Blocks from retired
         stations (their stream ended; their pipeline drains a final
-        pending second afterwards) are dropped."""
+        pending second afterwards) are dropped.
+
+        Lockstep is VERIFIED, not assumed: each station's `offset` must
+        continue where its last block ended.  A gap (a station dropped a
+        block — exception in its drain path, late join) is zero-filled in
+        filterbank space so every later coadd still sums aligned time
+        ranges; a rewind/duplicate keeps first-arrival samples only."""
         if station_id not in self._pending:
             return
+        exp = self._next_offset[station_id]
+        end = offset + packed.shape[0]
+        if offset > exp:
+            self.log.warning(
+                "coadd: station %d jumped %d->%d; zero-filling %d samples "
+                "to keep the coadd time-aligned", station_id, exp, offset,
+                offset - exp)
+            self._pending[station_id].append(("pad", offset - exp))
+        elif offset < exp:
+            overlap = exp - offset
+            if overlap >= packed.shape[0]:
+                self.log.warning(
+                    "coadd: station %d re-delivered [%d,%d) already "
+                    "consumed; dropped", station_id, offset,
+                    offset + packed.shape[0])
+                return
+            self.log.warning(
+                "coadd: station %d overlapped %d samples; keeping the "
+                "first-arrival range", station_id, overlap)
+            packed = packed[overlap:]
         self._pending[station_id].append(packed)
+        self._next_offset[station_id] = end
         self._advance()
 
     def retire(self, station_id: int) -> None:
@@ -507,24 +537,46 @@ class CoaddSearcher:
             if self.station_ids:
                 self._advance()
 
+    @staticmethod
+    def _blk_len(b) -> int:
+        return b[1] if isinstance(b, tuple) else b.shape[0]
+
+    @staticmethod
+    def _blk_split(b, n: int):
+        """(first n samples, remainder or None) of a packed/pad entry."""
+        if isinstance(b, tuple):
+            rest = b[1] - n
+            return ("pad", n), (("pad", rest) if rest > 0 else None)
+        return b[:n], (b[n:] if b.shape[0] > n else None)
+
+    def _blk_fb(self, b) -> np.ndarray:
+        """Dequantize a packed entry; a pad is zero filterbank (the
+        gap-fill convention — zero contributes nothing to the sum)."""
+        if isinstance(b, tuple):
+            return np.zeros((b[1], self.cfg.nchanout), np.float32)
+        return search_mod.filterbank_from_packed(
+            b, self.cfg.nbit, self.cfg.nchanout)
+
     def _advance(self) -> None:
         while self.station_ids and all(
                 self._pending[sid] for sid in self.station_ids):
             blocks = [self._pending[sid].pop(0) for sid in self.station_ids]
-            n = min(b.shape[0] for b in blocks)
-            if any(b.shape[0] != n for b in blocks):
+            n = min(self._blk_len(b) for b in blocks)
+            if any(self._blk_len(b) != n for b in blocks):
                 # ragged blocks (different tap granularities): consume the
                 # common prefix and REQUEUE the remainders so streams stay
                 # sample-aligned (trimming would desynchronize the time
                 # axis of every later coadd)
                 self.log.warning("ragged coadd blocks: %s",
-                                 [b.shape[0] for b in blocks])
+                                 [self._blk_len(b) for b in blocks])
+                head = []
                 for sid, b in zip(self.station_ids, blocks):
-                    if b.shape[0] > n:
-                        self._pending[sid].insert(0, b[n:])
-                blocks = [b[:n] for b in blocks]
-            fbs = np.stack([search_mod.filterbank_from_packed(
-                b, self.cfg.nbit, self.cfg.nchanout) for b in blocks])
+                    first, rest = self._blk_split(b, n)
+                    if rest is not None:
+                        self._pending[sid].insert(0, rest)
+                    head.append(first)
+                blocks = head
+            fbs = np.stack([self._blk_fb(b) for b in blocks])
             co = fbs.sum(axis=0) * np.float32(1.0 / np.sqrt(len(fbs)))
             # float16 storage halves the rolling-window footprint; values
             # are O(10) sums of quantization levels — no precision concern

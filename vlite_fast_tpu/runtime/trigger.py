@@ -93,7 +93,18 @@ def coincidence(per_beam: Dict[int, Sequence[Candidate]], tsamp: float,
 
 @dataclass
 class Trigger:
-    """Dump-window request (ref trigger_t, src/utils.h:47-57)."""
+    """Dump-window request (ref trigger_t, src/utils.h:47-57).
+
+    Wire format note: `_FMT` is byte-identical to the reference's C
+    trigger_t struct {double t0; double t1; float sn,dm,width,peak_time;
+    char meta[128];} — the layout the reference's dumper demands
+    (`nbytes != sizeof(trigger_t)` is rejected, src/dumper.c:514-526).
+    The reference's *Python* coincidencer packs only `'dd128s'`
+    (src/trigger.py:174), a 144-byte datagram the C dumper would drop;
+    we treat the C struct as canonical and accept the short Python
+    layout on unpack for one-way interop (sn/dm/width/peak_time
+    default to 0 since that layout does not carry them).
+    """
 
     t0: float            # window start [unix seconds]
     t1: float            # window end   [unix seconds]
@@ -103,11 +114,18 @@ class Trigger:
     peak_time: float
     meta: str = ""
 
-    _FMT = "<ddffff128s"  # binary wire format (trigger_t layout)
+    _FMT = "<ddffff128s"      # canonical: the C trigger_t layout
+    _FMT_LEGACY = "<dd128s"   # the reference coincidencer's short pack
 
     def pack(self) -> bytes:
         return struct.pack(self._FMT, self.t0, self.t1, self.sn, self.dm,
                            self.width, self.peak_time,
+                           self.meta.encode()[:128])
+
+    def pack_legacy(self) -> bytes:
+        """The reference Python coincidencer's 'dd128s' layout
+        (src/trigger.py:174), for driving legacy consumers."""
+        return struct.pack(self._FMT_LEGACY, self.t0, self.t1,
                            self.meta.encode()[:128])
 
     @classmethod
@@ -115,6 +133,12 @@ class Trigger:
         # slice exactly calcsize bytes so senders whose trigger_t carries
         # trailing padding still parse (a longer datagram must not raise)
         n = struct.calcsize(cls._FMT)
+        if len(buf) < n:
+            # the reference coincidencer's short 'dd128s' datagram
+            nl = struct.calcsize(cls._FMT_LEGACY)
+            t0, t1, meta = struct.unpack(cls._FMT_LEGACY, buf[:nl])
+            return cls(t0, t1, 0.0, 0.0, 0.0, 0.0,
+                       meta.split(b"\0", 1)[0].decode(errors="replace"))
         t0, t1, sn, dm, w, pt, meta = struct.unpack(cls._FMT, buf[:n])
         return cls(t0, t1, sn, dm, w, pt,
                    meta.split(b"\0", 1)[0].decode(errors="replace"))

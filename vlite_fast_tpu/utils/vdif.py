@@ -214,7 +214,8 @@ def frames_to_streams(raw: np.ndarray, npol: int = 2,
 
 def frames_to_streams_placed(raw: np.ndarray, sample_rate: int,
                              npol: int = 2,
-                             data_bytes: int = C.VDIF_DATA_BYTES) -> tuple:
+                             data_bytes: int = C.VDIF_DATA_BYTES,
+                             max_span_factor: int = 16) -> tuple:
     """Decode frames by their HEADER positions instead of file order.
 
     Robust to dropped frames (their span stays zero — the capture
@@ -244,6 +245,16 @@ def frames_to_streams_placed(raw: np.ndarray, sample_rate: int,
             + fields["frame"].astype(np.int64))
     slot0, slot1 = int(slot.min()), int(slot.max())
     nslot = slot1 - slot0 + 1
+    # Header fields are untrusted (a corrupt dump is db_unwrap's whole
+    # reason to exist): one garbage seconds/frame value must not size the
+    # output to terabytes.  Bound the span to max_span_factor x the frame
+    # count and surface a continuity error instead of allocating.
+    max_slots = max(nframes, 1) * max(int(max_span_factor), 1)
+    if nslot > max_slots:
+        raise ValueError(
+            f"VDIF frame span {nslot} slots >> {nframes} frames present "
+            f"(bound {max_slots}): corrupt header timestamps — run the "
+            "unwrap/continuity repair instead of placed decoding")
     out = np.zeros((npol, nslot, data_bytes), np.uint8)
     for ipol in range(npol):
         mask = (fields["thread_id"] != 0) == bool(ipol)
