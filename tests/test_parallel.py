@@ -131,53 +131,164 @@ def test_sharded_coherent_dedispersion_roundtrip():
     assert (err > 0.01).mean() < 0.01   # <1% of samples above 1% error
 
 
-def test_sharded_step_detects_pulse():
-    """End-to-end on the mesh: a dispersed pulse present at every antenna
-    must surface in the coadd search's per-timeblock peak S/N
-    (configs[4]-style evidence on the virtual mesh)."""
-    import dataclasses
-    from vlite_fast_tpu.config import (AntennaConfig, ArrayConfig,
-                                       PipelineConfig, SearchConfig)
-    from vlite_fast_tpu.models import synthesis
-    from vlite_fast_tpu.parallel.mesh import make_mesh
-    from vlite_fast_tpu.parallel.sharded_pipeline import build_array_step
+class TestShardedCandidatePlane:
+    """The production candidate plane on the virtual mesh (VERDICT r2 #1/#2):
+    per-beam + coadd top-k searches inside the SPMD program, and packed
+    filterbank bytes byte-identical to the sequential streaming chain."""
 
-    n_ant, n_time = 4, 2
-    mesh = make_mesh(n_ant=n_ant, n_time=n_time)
-    cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
-    scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=64, gulp_samps=512,
-                        boxcar_max=16, zap_ranges=(), snr_thresh=6.0)
-    acfg = ArrayConfig(
-        antennas=tuple(AntennaConfig(i + 1, f"ea{i+1:02d}")
-                       for i in range(n_ant)),
-        pipeline=cfg, search=scfg, mesh_ant=n_ant, mesh_time=n_time)
-    step_fn, make_inputs, plan = build_array_step(acfg, mesh,
-                                                  nsec_per_block=1)
-    raw, bp, bpk = make_inputs(seed=0)
-    # overwrite with synthetic dispersed pulses (2 consecutive seconds,
-    # one per time block; same sky signal, different noise per antenna)
-    dm_true = 300.0
-    for a in range(n_ant):
-        s = synthesis.SynthConfig(
-            tobs=2.0, dm=dm_true, pulse_period=0.05, skip_period=16,
-            amp=0.4, seed=50 + a, sample_rate=cfg.sample_rate,
-            freq_bot_mhz=320.0, bandwidth_mhz=0.5, buflen=250_000)
-        samples, _ = synthesis.generate_baseband(s)
-        for tb in range(n_time):
-            raw[a, tb] = samples[:, tb * cfg.sample_rate:
-                                 (tb + 1) * cfg.sample_rate]
-    sh = NamedSharding(mesh, P("ant", "time"))
-    out, state = step_fn(jax.device_put(raw, sh),
-                         jax.device_put(bp, sh),
-                         jax.device_put(bpk, sh))
-    snr_max = np.asarray(out.snr_max)
-    peak = np.asarray(out.snr_argmax)
-    assert snr_max.shape == (n_time,)
-    # the coadded pulse should stand out strongly in at least one block
-    assert snr_max.max() > 8.0, f"snr_max={snr_max}"
-    # peak DM trial near the true DM
-    dms = np.asarray(plan.dms)
-    best = peak[int(np.argmax(snr_max))]
-    assert abs(dms[best[1]] - dm_true) < 100.0
-    # RFI weights stay healthy on clean synthetic data
-    assert np.asarray(out.weights_mean).min() > 0.9
+    NSEC = 4
+    DM_TRUE = 300.0
+    NA, NT = 4, 2
+
+    @pytest.fixture(scope="class")
+    def run(self):
+        from vlite_fast_tpu.config import (AntennaConfig, ArrayConfig,
+                                           PipelineConfig, SearchConfig)
+        from vlite_fast_tpu.models import synthesis
+        from vlite_fast_tpu.parallel.mesh import make_mesh
+        from vlite_fast_tpu.parallel.sharded_pipeline import (
+            build_array_step, extract_candidates)
+
+        na, nt = self.NA, self.NT
+        nant = na * nt                      # one antenna per device
+        mesh = make_mesh(n_ant=na, n_time=nt)
+        cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+        scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=64,
+                            gulp_samps=512, boxcar_max=16, zap_ranges=(),
+                            snr_thresh=6.0, engine="subband",
+                            dm_grid_mode="linear")
+        acfg = ArrayConfig(
+            antennas=tuple(AntennaConfig(i + 1, f"ea{i+1:02d}")
+                           for i in range(nant)),
+            pipeline=cfg, search=scfg, mesh_ant=na, mesh_time=nt)
+        step_fn, make_inputs, plan, info = build_array_step(
+            acfg, mesh, nsec_per_call=self.NSEC)
+        raw, bp, bpk, tail = make_inputs(seed=0)
+        # synthetic dispersed pulses: same sky signal per antenna,
+        # independent noise (seed), spanning the multi-second stream
+        raw = np.array(raw)
+        for a in range(nant):
+            s = synthesis.SynthConfig(
+                tobs=float(self.NSEC), dm=self.DM_TRUE, pulse_period=0.05,
+                skip_period=16, amp=0.4, seed=50 + a,
+                sample_rate=cfg.sample_rate, freq_bot_mhz=320.0,
+                bandwidth_mhz=0.5, buflen=250_000)
+            samples, _ = synthesis.generate_baseband(s)
+            raw[a] = samples[:, :self.NSEC * cfg.sample_rate]
+        sh = NamedSharding(mesh, P(("ant", "time")))
+        raw = jax.device_put(raw, sh)
+        out, state = step_fn(raw, bp, bpk, tail)
+        per_beam, coadd_cands = extract_candidates(out, info, scfg)
+        return dict(cfg=cfg, scfg=scfg, acfg=acfg, raw=np.asarray(raw),
+                    out=out, state=state, info=info, plan=plan,
+                    per_beam=per_beam, coadd=coadd_cands, nant=nant)
+
+    def test_packed_bytes_match_streaming_chain(self, run):
+        """VERDICT r2 #2 'done' criterion: the sharded step's packed
+        filterbank bytes equal the sequential streaming chain's (EMA
+        carried across every second), byte-exact."""
+        import jax.numpy as jnp
+        from vlite_fast_tpu.models import baseband_dsp as dsp
+
+        cfg = run["cfg"]
+        sharded = np.asarray(run["out"].packed_kur)
+        for a in (0, run["nant"] - 1):      # first + last antenna
+            st = dsp.init_state(cfg)
+            blocks = []
+            for s in range(self.NSEC):
+                sec = run["raw"][a][:, s * cfg.sample_rate:
+                                    (s + 1) * cfg.sample_rate]
+                o, st = dsp.process_second(cfg, jnp.asarray(sec), st,
+                                           jnp.bool_(False))
+                blocks.append(np.asarray(o.packed_kur))
+            seq = np.concatenate(blocks, axis=0)
+            np.testing.assert_array_equal(sharded[a], seq)
+
+    def test_state_carries_across_calls(self, run):
+        """Driving a SECOND step call with the returned state must equal
+        the sequential chain continued over 2*NSEC seconds (the streaming
+        contract, not just single-call parity)."""
+        import jax.numpy as jnp
+        from vlite_fast_tpu.config import (ArrayConfig, AntennaConfig)
+        from vlite_fast_tpu.models import baseband_dsp as dsp
+        from vlite_fast_tpu.parallel.mesh import make_mesh
+        from vlite_fast_tpu.parallel.sharded_pipeline import build_array_step
+
+        cfg, acfg = run["cfg"], run["acfg"]
+        mesh = make_mesh(n_ant=self.NA, n_time=self.NT)
+        step_fn, make_inputs, plan, info = build_array_step(
+            acfg, mesh, nsec_per_call=self.NSEC)
+        bp2, bpk2, tail2 = run["state"]
+        sh = NamedSharding(mesh, P(("ant", "time")))
+        rng = np.random.default_rng(7)
+        raw2 = np.clip(rng.standard_normal(
+            run["raw"].shape) / 0.05914 + 128.5, 0, 255).astype(np.uint8)
+        out2, _ = step_fn(jax.device_put(raw2, sh), bp2, bpk2, tail2)
+        sharded2 = np.asarray(out2.packed_kur)
+        a = 0
+        st = dsp.init_state(cfg)
+        for s in range(self.NSEC):          # replay call 1 to evolve state
+            sec = run["raw"][a][:, s * cfg.sample_rate:
+                                (s + 1) * cfg.sample_rate]
+            _, st = dsp.process_second(cfg, jnp.asarray(sec), st,
+                                       jnp.bool_(False))
+        blocks = []
+        for s in range(self.NSEC):
+            sec = raw2[a][:, s * cfg.sample_rate:(s + 1) * cfg.sample_rate]
+            o, st = dsp.process_second(cfg, jnp.asarray(sec), st,
+                                       jnp.bool_(False))
+            blocks.append(np.asarray(o.packed_kur))
+        np.testing.assert_array_equal(sharded2[a],
+                                      np.concatenate(blocks, axis=0))
+
+    def test_per_beam_candidates_match_single_chip(self, run):
+        """VERDICT r2 #1 'done' criterion: per-beam candidates from the
+        SPMD program match the single-chip search engine on the same
+        filterbank (same DM / S/N / peak within tolerance)."""
+        from vlite_fast_tpu.models import search as search_mod
+
+        cfg, scfg, info = run["cfg"], run["scfg"], run["info"]
+        eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp,
+                                           cfg.freqs_mhz())
+        packed = np.asarray(run["out"].packed_kur)
+        beams_checked = 0
+        for beam in (0, run["nant"] - 1):
+            fb = search_mod.filterbank_from_packed(
+                packed[beam], cfg.nbit, cfg.nchanout)
+            ref_cands = eng.search_stream(fb.astype(np.float32))
+            got = run["per_beam"].get(beam, [])
+            assert ref_cands and got, (beam, len(ref_cands), len(got))
+            # every strong single-chip detection must have a sharded
+            # counterpart at the same event: peak within 2 boxcar widths,
+            # DM within a few trials, S/N within the per-gulp
+            # noise-estimate jitter (gulp boundaries differ)
+            strong = [c for c in ref_cands if c.snr > 10.0]
+            assert strong, "single-chip search found no strong events"
+            dm_step = info.dms[1] - info.dms[0]
+            for rb in strong:
+                near = [g for g in got
+                        if abs(g.peak_idx - rb.peak_idx)
+                        <= 2 * max(info.widths)]
+                assert near, (beam, rb)
+                gb = max(near, key=lambda x: x.snr)
+                assert abs(gb.dm - rb.dm) <= 4 * dm_step, (gb, rb)
+                assert abs(gb.snr - rb.snr) / rb.snr < 0.25, (gb.snr,
+                                                              rb.snr)
+                assert abs(gb.dm - self.DM_TRUE) < 75.0
+            beams_checked += 1
+        assert beams_checked == 2
+
+    def test_coadd_candidates_gain(self, run):
+        """The coadd search inside the SPMD program recovers the common
+        pulse at higher S/N than any single beam (~sqrt(N) gain)."""
+        coadd = run["coadd"]
+        assert coadd, "no coadd candidates from the sharded step"
+        best_co = max(coadd, key=lambda c: c.snr)
+        assert abs(best_co.dm - self.DM_TRUE) < 75.0
+        best_single = max(
+            (c.snr for cl in run["per_beam"].values() for c in cl),
+            default=0.0)
+        assert best_co.snr > best_single, (best_co.snr, best_single)
+
+    def test_weights_healthy(self, run):
+        assert np.asarray(run["out"].weights_mean).min() > 0.9

@@ -1,160 +1,341 @@
 """The full-array sharded step: every antenna's DSP, the cross-antenna
-coadd, and the coadd search — one jitted program over an (ant, time) mesh.
+coadd, and the PRODUCTION candidate plane — one jitted SPMD program over an
+(ant, time) mesh.
 
 This replaces the reference's distributed topology (12 hosts of independent
-process chains + agdadacoadd MPI reduce + a central coincidencer,
-SURVEY.md section 1) with SPMD collectives:
+process chains + per-beam heimdall searches + agdadacoadd MPI reduce +
+agtriggerhook on the sum + a central coincidencer, SURVEY.md section 1,
+scripts/start_heimdall_single_antenna:21, scripts/start_process:21) with
+SPMD collectives, laid out the way the hardware wants it:
 
-  * antennas shard over the 'ant' axis — the per-antenna DSP chains are a
-    vmap, so one chip can carry several antennas;
-  * the incoherent coadd is a psum over 'ant' (ICI all-reduce, replacing
-    MPI over the cluster network);
-  * search time-blocks shard over 'time' with an overlap-save halo pulled
-    from the next neighbor by ppermute (replacing heimdall's gulp overlap);
-  * the DSP's EMA bandpass state is carried per (antenna, time-block) shard
-    — in production the 'time' axis parallelizes the search stage while DSP
-    streams sequentially per antenna (see parallel/mesh.py docstring).
+  * DSP phase — antennas shard over ALL devices (the mesh flattened):
+    each antenna's seconds stream SEQUENTIALLY through the chain on one
+    device, so the EMA bandpass carry is sequential-equivalent BY
+    CONSTRUCTION (ref pb_kernels.cu:406-411) — packed output bytes are
+    identical to the streaming StationPipeline's, with no cross-shard
+    state mending.  The carried (bp, bp_kur) state enters and leaves the
+    step, so consecutive calls continue one unbroken observation.
+  * Reshard — one all_to_all over 'time' moves each antenna group's
+    packed filterbank (cheap 2-bit bytes, not floats) from "whole stream
+    on one device" to "time chunk per device": device (a, t) then holds
+    chunk t of every beam in ant-row a's group.
+  * Per-beam search — each device dedisperses + boxcar-filters its
+    beams' chunk (the per-antenna heimdall role), with the previous
+    chunk's tail pulled by ppermute (overlap-save; chunk 0 uses the
+    packed tail carried from the previous call, so gulp overlap is
+    seamless across calls).  Fixed-size packed top-k crossings per beam
+    leave the device (the models/search._device_gulp pattern).
+  * Coadd search — psum over 'ant' forms the incoherent sum (the
+    agdadacoadd MPI reduce as an ICI all-reduce); the coadd chunk's
+    search is time-SUBSPLIT across the 'ant' rows so the extra work
+    rides otherwise-idle devices (the agtriggerhook role).
+
+Host side, extract_candidates() turns the packed crossings into per-beam
+and coadd Candidate lists via the same clustering the single-chip path
+uses — feeding the identical coincidence/trigger plane (runtime/trigger).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from vlite_fast_tpu.config import ArrayConfig
+from vlite_fast_tpu.config import ArrayConfig, SearchConfig
 from vlite_fast_tpu.models import baseband_dsp as dsp
 from vlite_fast_tpu.models import search as search_mod
-from vlite_fast_tpu.models.coadd import coadd_psum
 from vlite_fast_tpu.ops import dedisperse as dd
 from vlite_fast_tpu.ops import quantize as q_ops
-from vlite_fast_tpu.parallel.halo import halo_from_next
 
 
 class ArrayStepOutput(NamedTuple):
-    packed_kur: jax.Array   # (nant, ntblk, out_samps, nbytes) per-ant fb
-    snr_max: jax.Array      # (ntblk,) peak coadd S/N per time block
-    snr_argmax: jax.Array   # (ntblk, 3) [width_idx, dm_idx, t] of the peak
-    weights_mean: jax.Array  # (nant, ntblk) mean RFI weight per block
+    packed_kur: jax.Array   # (nant, T, nbytes) per-beam filterbank bytes
+    beam_topk: jax.Array    # (ndev, beams_per_group, 2, k_beam) int32
+                            # [d]: ant-row d//ntblk's beams, chunk d%ntblk;
+                            # row 0 bitcast f32 S/N, row 1 flat indices
+    coadd_topk: jax.Array   # (ndev, 2, k_co) int32 coadd crossings
+    weights_mean: jax.Array  # (nant,) mean RFI weight over the call
 
 
-def build_array_step(acfg: ArrayConfig, mesh: Mesh, nsec_per_block: int = 1):
-    """Returns (step_fn, make_inputs) where step_fn is jitted over the mesh.
+@dataclasses.dataclass(frozen=True)
+class ArraySearchInfo:
+    """Static geometry the host needs to decode ArrayStepOutput."""
 
-    step_fn(raw, state) with
-      raw:   (nant, ntblk, npol, nsec_per_block*sample_rate) uint8,
-             sharded P('ant', 'time')
-      state: DSPState with leaves (nant, ntblk, ...) sharded P('ant','time')
+    widths: tuple
+    dms: tuple
+    T: int            # output samples per call
+    c: int            # samples per time chunk (T // ntblk)
+    ca: int           # coadd sub-window per ant row (c // na, or c)
+    coadd_split: bool  # True when the coadd search is subsplit over 'ant'
+    halo: int         # overlap-save lookahead (plan.max_delay)
+    na: int
+    ntblk: int
+    m: int            # antennas per device
+    mg: int           # beams per ant-row group (m * ntblk)
+    nant: int
+    k_beam: int
+    k_co: int
+    tsamp: float
+
+
+def build_array_step(acfg: ArrayConfig, mesh: Mesh,
+                     nsec_per_call: int = 1,
+                     k_beam: int = 0, k_co: int = 0):
+    """Returns (step_fn, make_inputs, plan, info).
+
+    step_fn(raw, bp, bp_kur, tail) -> (ArrayStepOutput, (bp2, bpk2, tail2))
+      raw:  (nant, npol, nsec_per_call*sample_rate) uint8, P(('ant','time'))
+      bp(_kur): (nant, npol, nchan) float32 EMA carry, same sharding
+      tail: (nant, halo, nbytes) uint8 packed fb tail from the previous
+            call (search overlap carry), same sharding
+
+    Geometry requirements (raised if violated):
+      nant % ndev == 0; T % ntblk == 0; halo <= c (a chunk's lookahead
+      comes from ONE neighbor — make calls at least ntblk * halo samples
+      long, the same reason heimdall's 24 s gulps exceed the DM-1000
+      sweep).
     """
     cfg = acfg.pipeline
     scfg = acfg.search
     nant = acfg.nant
-    ntblk = mesh.shape["time"]
-    out_samps = nsec_per_block * cfg.seg_per_sec * cfg.out_samps_per_seg
+    na, ntblk = mesh.shape["ant"], mesh.shape["time"]
+    ndev = na * ntblk
+    if nant % ndev:
+        raise ValueError(f"nant={nant} must divide over {ndev} devices")
+    m = nant // ndev
+    mg = m * ntblk                  # beams per ant-row group
+    out_per_sec = cfg.seg_per_sec * cfg.out_samps_per_seg
+    T = nsec_per_call * out_per_sec
+    if T % ntblk:
+        raise ValueError(f"T={T} output samples must divide into "
+                         f"{ntblk} time chunks")
+    c = T // ntblk
 
     freqs = cfg.freqs_mhz()
     dms = search_mod.make_dm_grid(scfg, cfg.tsamp, freqs)
-    plan = dd.make_plan(dms, freqs, cfg.tsamp, nsub=min(64, cfg.nchanout),
-                        nbatch=min(scfg.ndm, 64),
+    plan = dd.make_plan(dms, freqs, cfg.tsamp,
+                        nsub=min(scfg.nsub, cfg.nchanout),
+                        nbatch=min(scfg.nbatch, len(dms)),
                         zap_ranges=scfg.zap_ranges)
     halo = int(plan.max_delay)
-    if halo >= out_samps:
+    if halo > c:
         raise ValueError(
-            f"time block ({out_samps} samples) shorter than the max DM "
-            f"delay ({halo}); raise nsec_per_block or lower dm_max")
+            f"chunk ({c} samples) shorter than the max DM delay ({halo}); "
+            f"raise nsec_per_call to >= {ntblk * halo / out_per_sec:.1f} s "
+            "or lower dm_max")
     widths = search_mod.boxcar_widths(scfg.boxcar_max)
-    ntime_out = out_samps  # search the whole block using the halo lookahead
+    coadd_split = (c % na == 0)
+    ca = c // na if coadd_split else c
 
-    def per_antenna_second(raw_sec, state, arm):
-        out, st = dsp.process_second(cfg, raw_sec, state, arm)
-        return out, st
+    nbytes = cfg.npol_out * cfg.nchanout * cfg.nbit // 8
+    nchan = cfg.nchanout
+    use_kur = cfg.rfi_mode != 0
+    engine = search_mod.resolve_engine(scfg.engine)
+    cube_beam = len(widths) * len(dms) * c
+    cube_co = len(widths) * len(dms) * ca
+    k_beam = min(k_beam or max(512, 16 * scfg.max_candidates // ntblk),
+                 cube_beam)
+    k_co = min(k_co or max(512, 16 * scfg.max_candidates // (na * ntblk)),
+               cube_co)
+    inv_sqrt_nant = np.float32(1.0 / np.sqrt(nant))
 
-    def shard_fn(raw, bp, bp_kur):
-        # raw: (ant_l, tblk_l, npol, nsamp_block)
-        ant_l, tblk_l = raw.shape[0], raw.shape[1]
-        state = dsp.DSPState(
-            bp=bp, bp_kur=bp_kur,
-            segs_since_inject=jnp.full(raw.shape[:2], -1, jnp.int32),
-            tail=jnp.zeros(raw.shape[:2] + (2, cfg.npol_in, 0),
-                           jnp.float32),
-            wtail=jnp.ones(raw.shape[:2] + (cfg.npol_in, 0), jnp.float32))
+    info = ArraySearchInfo(
+        widths=widths, dms=tuple(float(d) for d in dms), T=T, c=c, ca=ca,
+        coadd_split=coadd_split, halo=halo, na=na, ntblk=ntblk, m=m, mg=mg,
+        nant=nant, k_beam=k_beam, k_co=k_co, tsamp=cfg.tsamp)
 
-        def one(raw_blk, st):
-            # process nsec_per_block seconds sequentially (EMA carry)
-            secs = raw_blk.reshape(cfg.npol_in, nsec_per_block, -1)
+    def _dedisp(span, ntime_out):
+        if engine == "pallas":
+            from vlite_fast_tpu.ops import dedisperse_pallas as ddp
+            return ddp.dedisperse_pallas(span, plan, ntime_out)
+        if engine == "fourier":
+            return dd.dedisperse_fourier(span, plan, ntime_out,
+                                         batch_chunk=min(8, len(dms)))
+        return dd.dedisperse(span, plan, ntime_out)
+
+    def _search_topk(span, ntime_out, k):
+        """span: (ntime_out + halo, nchan) f32 -> (2, k) packed crossings."""
+        dmt = _dedisp(span, ntime_out)
+        snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
+        vals, idx = jax.lax.approx_max_k(snr.reshape(-1), k,
+                                         recall_target=0.95)
+        return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32),
+                          idx.astype(jnp.int32)])
+
+    def _dequant(packed):
+        fb = q_ops.dequantize(packed, cfg.nbit)
+        return fb.reshape(packed.shape[:-1] + (-1,))[..., :nchan]
+
+    def shard_fn(raw, bp, bp_kur, tail):
+        # ---- DSP: each local antenna streams its seconds sequentially ---
+        # raw: (m, npol, nsec*rate); bp: (m, npol, nchan);
+        # tail: (m, halo, nbytes)
+        def one_ant(raw_a, bp_a, bpk_a):
+            st = dsp.init_state(cfg)._replace(bp=bp_a, bp_kur=bpk_a)
+            secs = raw_a.reshape(cfg.npol_in, nsec_per_call, -1)
             secs = jnp.swapaxes(secs, 0, 1)
 
             def step(s, sec):
                 o, s2 = dsp.process_second(cfg, sec, s, jnp.bool_(False))
-                return s2, o
+                pk = o.packed_kur if use_kur else o.packed
+                return s2, (pk, o.weights.mean())
 
-            st2, outs = jax.lax.scan(step, st, secs)
-            packed_kur = outs.packed_kur.reshape(out_samps, -1)
-            return packed_kur, outs.weights.mean(), st2
+            st2, (pk, wm) = jax.lax.scan(step, st, secs)
+            return (pk.reshape(T, nbytes), wm.mean(),
+                    st2.bp, st2.bp_kur)
 
-        packed, wmean, st_new = jax.vmap(jax.vmap(one))(raw, state)
+        packed, wmean, bp2, bpk2 = jax.vmap(one_ant)(raw, bp, bp_kur)
 
-        # --- coadd over the full 'ant' axis (ICI all-reduce) --------------
-        fb = q_ops.dequantize(packed, cfg.nbit)
-        fb = fb.reshape(ant_l, tblk_l, out_samps, -1)[..., :cfg.nchanout]
-        co = coadd_psum(fb, "ant", nant)    # (tblk_l, out_samps, nchanout)
+        # next call's search tail: the last `halo` packed rows of the
+        # stream (prepend the incoming tail so halo > T also works)
+        tail2 = jnp.concatenate([tail, packed], axis=1)[:, -halo:]
 
-        # --- search EVERY local time block ---------------------------------
-        # flatten the shard's blocks into one contiguous span; the
-        # overlap-save halo from the next time shard covers the final
-        # block's DM-delay lookahead (interior blocks read their in-shard
-        # successor for free)
-        local_T = tblk_l * out_samps
-        co_flat = co.reshape(local_T, cfg.nchanout)
-        co_ext = halo_from_next(co_flat, halo, "time")  # (local_T+halo, ch)
-        engine = search_mod.resolve_engine(scfg.engine)
-        if engine == "pallas":
-            from vlite_fast_tpu.ops import dedisperse_pallas as ddp
-            dmt = ddp.dedisperse_pallas(co_ext, plan, local_T)
-        elif engine == "subband":
-            dmt = dd.dedisperse(co_ext, plan, local_T)
-        else:
-            dmt = dd.dedisperse_fourier(co_ext, plan, local_T,
-                                        batch_chunk=min(8, scfg.ndm))
-        snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
-        nw, ndm_, _ = snr.shape
-        # per-block peak over (width, DM, in-block time)
-        snr_b = snr.reshape(nw, ndm_, tblk_l, out_samps)
-        # swapaxes(2,0): (tblk_l, ndm_, nw, out_samps); flat row-major
-        # index = (idm * nw + iw) * out_samps + it
-        flat = jnp.swapaxes(snr_b, 2, 0).reshape(tblk_l, -1)
-        amax = jnp.argmax(flat, axis=1)                  # (tblk_l,)
-        idm = amax // (nw * out_samps)
-        iw = (amax // out_samps) % nw
-        it = amax % out_samps
-        peak = jnp.stack([iw, idm, it], axis=1).astype(jnp.int32)
-        return (packed, jnp.max(flat, axis=1), peak,
-                wmean, st_new.bp, st_new.bp_kur)
+        # ---- reshard: (m, T, nb) -> group beams x my chunk -------------
+        x = packed.reshape(m, ntblk, c, nbytes)
+        # all_to_all consumes the chunk axis (one piece per time peer) and
+        # materializes the 'time' axis at position 0, ordered by source:
+        # (ntblk, m, c, nb).  Beam order within the group is therefore
+        # (source t', local antenna i) — matching the all_gathered tails.
+        x = jax.lax.all_to_all(x, "time", split_axis=1, concat_axis=0,
+                               tiled=False)
+        chunk = x.reshape(mg, c, nbytes)
 
-    pspec_at = P("ant", "time")
+        # ---- previous-chunk halo (overlap-save) -------------------------
+        t_idx = jax.lax.axis_index("time")
+        prev_in_call = jax.lax.ppermute(
+            chunk[:, -halo:], "time",
+            [(i, (i + 1) % ntblk) for i in range(ntblk)])
+        # chunk 0's history is the PREVIOUS call's tail (the input), not
+        # the tail just computed from this call's end
+        group_tails = jax.lax.all_gather(tail, "time")  # (ntblk, m, halo, nb)
+        group_tails = group_tails.reshape(mg, halo, nbytes)
+        prev = jnp.where(t_idx == 0, group_tails, prev_in_call)
+        span_packed = jnp.concatenate([prev, chunk], axis=1)
+        fb_span = _dequant(span_packed)          # (mg, c+halo, nchan) f32
+
+        # ---- per-beam search (the heimdall-per-antenna role) ------------
+        beam_topk = jax.vmap(lambda s: _search_topk(s, c, k_beam))(fb_span)
+
+        # ---- coadd + subsplit search (agdadacoadd + agtriggerhook) ------
+        co = jax.lax.psum(fb_span.sum(axis=0), "ant") * inv_sqrt_nant
+        a_idx = jax.lax.axis_index("ant")
+        start = a_idx * ca if coadd_split else 0
+        sub = jax.lax.dynamic_slice_in_dim(co, start, ca + halo, axis=0)
+        coadd_topk = _search_topk(sub, ca, k_co)
+
+        return (packed, beam_topk[None], coadd_topk[None], wmean,
+                bp2, bpk2, tail2)
+
+    spec_at = P(("ant", "time"))
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(pspec_at, pspec_at, pspec_at),
-        out_specs=(pspec_at, P("time"), P("time"), pspec_at,
-                   pspec_at, pspec_at),
+        in_specs=(spec_at, spec_at, spec_at, spec_at),
+        out_specs=(spec_at, spec_at, spec_at, spec_at,
+                   spec_at, spec_at, spec_at),
         check_vma=False)
 
     @jax.jit
-    def step_fn(raw, bp, bp_kur):
-        packed, snr_max, peak, wmean, bp2, bpk2 = mapped(raw, bp, bp_kur)
-        return ArrayStepOutput(packed, snr_max, peak, wmean), (bp2, bpk2)
+    def step_fn(raw, bp, bp_kur, tail):
+        packed, btk, ctk, wmean, bp2, bpk2, tail2 = mapped(
+            raw, bp, bp_kur, tail)
+        return (ArrayStepOutput(packed, btk, ctk, wmean),
+                (bp2, bpk2, tail2))
 
     def make_inputs(seed: int = 0):
         rng = np.random.default_rng(seed)
-        nsamp = nsec_per_block * cfg.sample_rate
+        nsamp = nsec_per_call * cfg.sample_rate
         raw = np.clip(rng.standard_normal(
-            (nant, ntblk, cfg.npol_in, nsamp)) / 0.05914 + 128.5,
+            (nant, cfg.npol_in, nsamp)) / 0.05914 + 128.5,
             0, 255).astype(np.uint8)
-        bp = np.zeros((nant, ntblk, cfg.npol_in, cfg.nchan), np.float32)
-        return raw, bp, bp.copy()
+        bp = np.zeros((nant, cfg.npol_in, cfg.nchan), np.float32)
+        # the first call's warm-up history (there is no data before the
+        # observation): RANDOM quantizer levels, not a constant — a
+        # constant fill makes the per-trial robust noise estimate of
+        # fill-dominated rows collapse to ~0, exploding S/N at the stream
+        # head; random levels over-estimate sigma there instead
+        # (conservative: the first halo is slightly de-weighted, the way
+        # heimdall's first gulp simply starts at sample 0)
+        tail = rng.integers(0, 256, (nant, halo, nbytes),
+                            dtype=np.uint8)
+        sh = NamedSharding(mesh, spec_at)
+        put = lambda a: jax.device_put(a, sh)
+        return put(raw), put(bp), put(bp.copy()), put(tail)
 
-    return step_fn, make_inputs, plan
+    return step_fn, make_inputs, plan, info
+
+
+def extract_candidates(out: ArrayStepOutput, info: ArraySearchInfo,
+                       scfg: SearchConfig, call_base: int = 0
+                       ) -> Tuple[Dict[int, List[dd.Candidate]],
+                                  List[dd.Candidate]]:
+    """Decode one step's packed crossings into the candidate plane.
+
+    Returns ({beam: [Candidate]}, [coadd Candidate]) with peak/i0/i1
+    sample indices ABSOLUTE in the observation's output-sample stream
+    (call_base = T * call_index).  The searched span of call k is
+    [call_base - halo, call_base + T - halo): the trailing halo samples
+    wait for the next call's lookahead, exactly like heimdall's gulp
+    overlap.  Crossings below scfg.snr_thresh or before sample 0 are
+    dropped; clustering is the single-chip cluster_hits.
+    """
+    dms = np.asarray(info.dms)
+    nw, ndm = len(info.widths), len(dms)
+
+    btk = np.asarray(out.beam_topk)      # (ndev, mg, 2, k)
+    per_beam_hits: Dict[int, list] = {}
+    for d in range(btk.shape[0]):
+        a, t = d // info.ntblk, d % info.ntblk
+        base = call_base - info.halo + t * info.c
+        for j in range(info.mg):
+            beam = a * info.mg + j
+            vals = btk[d, j, 0].view(np.float32)
+            idx = btk[d, j, 1].astype(np.int64)
+            keep = vals > scfg.snr_thresh
+            if not keep.any():
+                continue
+            vals, idx = vals[keep], idx[keep]
+            hits = np.stack([idx // (ndm * info.c), (idx // info.c) % ndm,
+                             idx % info.c + base], axis=1)
+            ok = hits[:, 2] >= 0
+            if ok.any():
+                h, v = per_beam_hits.setdefault(beam, ([], []))
+                h.append(hits[ok])
+                v.append(vals[ok])
+
+    per_beam: Dict[int, List[dd.Candidate]] = {}
+    for beam, (h, v) in per_beam_hits.items():
+        per_beam[beam] = dd.cluster_hits(
+            np.concatenate(h), np.concatenate(v), dms, info.tsamp,
+            widths=info.widths, max_cands=scfg.max_candidates)
+
+    ctk = np.asarray(out.coadd_topk)     # (ndev, 2, k_co)
+    ch, cv = [], []
+    for d in range(ctk.shape[0]):
+        a, t = d // info.ntblk, d % info.ntblk
+        if not info.coadd_split and a != 0:
+            continue            # unsplit: every ant row searched the same
+        base = call_base - info.halo + t * info.c + a * info.ca \
+            if info.coadd_split else call_base - info.halo + t * info.c
+        vals = ctk[d, 0].view(np.float32)
+        idx = ctk[d, 1].astype(np.int64)
+        keep = vals > scfg.snr_thresh
+        if not keep.any():
+            continue
+        vals, idx = vals[keep], idx[keep]
+        hits = np.stack([idx // (ndm * info.ca), (idx // info.ca) % ndm,
+                         idx % info.ca + base], axis=1)
+        ok = hits[:, 2] >= 0
+        if ok.any():
+            ch.append(hits[ok])
+            cv.append(vals[ok])
+    coadd_cands: List[dd.Candidate] = []
+    if ch:
+        coadd_cands = dd.cluster_hits(
+            np.concatenate(ch), np.concatenate(cv), dms, info.tsamp,
+            widths=info.widths, max_cands=scfg.max_candidates)
+    return per_beam, coadd_cands
