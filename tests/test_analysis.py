@@ -296,3 +296,93 @@ def test_beamform_toward_true_direction_not_mirror():
                                       el_t).voltages())
     assert s_beam > 2.5 * s_single > 0      # coherent gain at truth
     assert s_beam > 3 * s_mirror            # mirror decorrelates
+
+
+# ---------------------------------------------------------------------------
+# Celestial frame chain (loc_step3 end product)
+# ---------------------------------------------------------------------------
+
+def test_gmst_j2000_published_value():
+    """GMST at the J2000.0 epoch (2000-01-01 12:00 UT) is 18h41m50.548s
+    = 280.46062 deg (IAU 1982; Meeus)."""
+    g = loc.gmst_rad(946_728_000.0)
+    assert abs(np.degrees(g) - 280.46062) < 1e-3
+
+
+def test_itrs_to_icrs_sidereal_period():
+    """A vector fixed in ITRS returns to (almost) the same ICRS RA after
+    one SIDEREAL day, but drifts ~0.9856 deg after one SOLAR day."""
+    t0 = 1.7e9
+    v = np.array([1.0, 0.3, 0.2])
+    v /= np.linalg.norm(v)
+
+    def ra_of(t):
+        w = loc.itrs_to_icrs_matrix(t) @ v
+        return np.degrees(np.arctan2(w[1], w[0])) % 360.0
+
+    sidereal = 86164.0905
+    assert abs(ra_of(t0 + sidereal) - ra_of(t0)) < 0.01
+    drift = (ra_of(t0 + 86400.0) - ra_of(t0)) % 360.0
+    assert abs(drift - 0.9856) < 0.01
+    # and the matrix is a rotation
+    M = loc.itrs_to_icrs_matrix(t0)
+    np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-12)
+
+
+def test_itrs_zenith_maps_to_vla_latitude():
+    """The geocentric up direction at the VLA maps to dec = geocentric
+    latitude (~33.9 deg) regardless of time (precession-level tolerance)."""
+    up = loc.VLA_CENTER_ITRS / np.linalg.norm(loc.VLA_CENTER_ITRS)
+    lat = np.degrees(np.arcsin(up[2]))
+    for t in (1.5e9, 1.75e9):
+        w = loc.itrs_to_icrs_matrix(t) @ up
+        dec = np.degrees(np.arcsin(w[2]))
+        assert abs(dec - lat) < 0.5
+
+
+def test_parse_correlator_delays():
+    text = """# vliteantennas.in
+0 10 vlite-difx7 p1p2 5021.000000 E08 5021.000000 1
+1 3 vlite-difx2 p1p2 -120.500000 W04 -120.500000 1
+
+bad line
+2 24 vlite-difx1 p1p2 0.000000 N02 0.000000 1
+"""
+    d = loc.parse_correlator_delays(text)
+    assert d == pytest.approx({10: 5021.0e-9, 3: -120.5e-9, 24: 0.0})
+
+
+def test_fit_sky_recovers_injected_radec():
+    """Exact-delay round trip at real VLA coordinates: pick a visible sky
+    direction, model the baseline delays (with per-antenna clock
+    offsets), and fit_sky must recover it to sub-arcminute."""
+    rng = np.random.default_rng(40)
+    doc_positions = rng.uniform(-8000, 8000, (6, 3))
+    # place on the local tangent plane at the VLA (coplanar like the
+    # real array -> exercises the horizon disambiguation too)
+    up = loc.VLA_CENTER_ITRS / np.linalg.norm(loc.VLA_CENTER_ITRS)
+    east = np.cross([0.0, 0.0, 1.0], up)
+    east /= np.linalg.norm(east)
+    north = np.cross(up, east)
+    positions = (loc.VLA_CENTER_ITRS
+                 + doc_positions[:, :1] * east
+                 + doc_positions[:, 1:2] * north)
+    t0 = 1.77e9
+    M = loc.itrs_to_icrs_matrix(t0)
+    # a direction 30 deg from zenith (visible), rotated into ICRS
+    s_itrs = loc.direction_unit(np.array(1.0), np.array(np.pi / 3))
+    s_itrs = s_itrs[0] * east + s_itrs[1] * north + s_itrs[2] * up
+    s_icrs = M @ s_itrs
+    ra_true = np.degrees(np.arctan2(s_icrs[1], s_icrs[0])) % 360.0
+    dec_true = np.degrees(np.arcsin(s_icrs[2]))
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    clocks = rng.normal(0, 2e-7, 6)
+    delays = np.array([(positions[j] - positions[i]) @ s_itrs
+                       for i, j in pairs]) / loc.C_LIGHT
+    delays = delays + np.array([clocks[i] - clocks[j] for i, j in pairs])
+    fit = loc.fit_sky(positions, pairs, delays, t0=t0, sigma=10e-9,
+                      clock_offsets=clocks)
+    assert abs(fit.dec_deg - dec_true) < 1 / 60.0
+    dra = (fit.ra_deg - ra_true + 180) % 360 - 180
+    assert abs(dra * np.cos(np.radians(dec_true))) < 1 / 60.0
+    assert fit.err_arcmin < 30.0

