@@ -178,7 +178,8 @@ class TestShardedCandidatePlane:
         sh = NamedSharding(mesh, P(("ant", "time")))
         raw = jax.device_put(raw, sh)
         out, state = step_fn(raw, bp, bpk, tail)
-        per_beam, coadd_cands = extract_candidates(out, info, scfg)
+        per_beam, coadd_cands, topk_stats = extract_candidates(out, info,
+                                                               scfg)
         return dict(cfg=cfg, scfg=scfg, acfg=acfg, raw=np.asarray(raw),
                     out=out, state=state, info=info, plan=plan,
                     per_beam=per_beam, coadd=coadd_cands, nant=nant)

@@ -254,6 +254,18 @@ class SearchConfig:
                                    # dominant traffic (47x vs 27x RT/gulp
                                    # measured) at ~4-sample worst-case
                                    # within-subband misalignment
+    topk: int = 0                  # device->host crossing slots per gulp;
+                                   # 0 = min(16 * max_candidates, 20000)
+    topk_dm_bands: int = 8         # the device->host top-k return is
+                                   # quota'd per contiguous DM band (k/nbands
+                                   # slots each) so an RFI storm saturating
+                                   # the low-DM trials cannot evict a real
+                                   # high-DM pulse from the fixed-size
+                                   # return (heimdall's analogous guard is
+                                   # its giant-cluster limits); falls back
+                                   # to one global band when ndm isn't a
+                                   # multiple.  Saturated bands are counted
+                                   # (vfast_topk_saturated_total).
 
     @classmethod
     def tiny(cls, **overrides) -> "SearchConfig":

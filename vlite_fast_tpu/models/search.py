@@ -62,13 +62,83 @@ def boxcar_widths(boxcar_max: int) -> tuple:
     return tuple(out)
 
 
+def pack_topk_banded(snr: jax.Array, k: int, nbands: int,
+                     thresh: float) -> jax.Array:
+    """(nw, ndm, ntime) S/N cube -> (2, nbands*kb + 1) int32 packed
+    crossings, kb = k // nbands slots per contiguous DM band.
+
+    Top-k is taken PER DM BAND rather than globally: a zero-DM RFI storm
+    producing tens of thousands of bright crossings can then saturate
+    only its own band's quota and can never evict a genuine high-DM
+    pulse from the fixed-size device->host return (heimdall's analogous
+    guard is its giant-cluster limits).  The final column carries the
+    in-graph count of threshold crossings so the host can meter
+    saturation without fetching the cube.
+
+    approx_max_k: TPU-native partitioned top-k — 38x faster than exact
+    lax.top_k on the ~220M-element production cube (22.6 ms vs 851 ms
+    measured, 99.8% top-1000 recall; exact on CPU where it lowers to
+    sort).  A crossing the approximation drops is one of many duplicate
+    threshold hits of the same pulse; clustering keeps the peak.
+
+    Row 0: bitcast float32 S/N (last col: crossing count, plain int32).
+    Row 1: flat indices WITHIN each band, bands concatenated in order.
+    Everything ships as ONE int32 array: a single host fetch per gulp
+    instead of two/three (each fetch pays a full round-trip latency).
+    """
+    nw, ndm, ntime = snr.shape
+    if ndm % nbands:
+        nbands = 1
+    kb = max(1, min(k // nbands, nw * (ndm // nbands) * ntime))
+    count = jnp.sum(snr > jnp.float32(thresh)).astype(jnp.int32)
+    banded = snr.reshape(nw, nbands, ndm // nbands, ntime)
+    banded = jnp.swapaxes(banded, 0, 1).reshape(nbands, -1)
+    vals, idx = jax.lax.approx_max_k(banded, kb, recall_target=0.95)
+    row0 = jnp.concatenate([
+        jax.lax.bitcast_convert_type(vals.reshape(-1), jnp.int32),
+        count[None]])
+    row1 = jnp.concatenate([idx.reshape(-1).astype(jnp.int32),
+                            jnp.zeros((1,), jnp.int32)])
+    return jnp.stack([row0, row1])
+
+
+def decode_crossings(packed: np.ndarray, nw: int, ndm: int, ntime: int,
+                     nbands: int, snr_thresh: float):
+    """Host-side inverse of pack_topk_banded.
+
+    Returns (vals, hits, n_crossings, saturated_bands): hits is (n, 3)
+    int64 [width_idx, dm_idx, t_idx] for crossings above snr_thresh;
+    n_crossings the in-graph count of the WHOLE cube's crossings; a band
+    is saturated when every one of its kb returned slots is above
+    threshold (its (kb+1)-th crossing was dropped on device).
+    """
+    arr = np.asarray(packed)
+    n_crossings = int(arr[0, -1])
+    vals = arr[0, :-1].view(np.float32)
+    idx = arr[1, :-1].astype(np.int64)
+    if ndm % nbands:
+        nbands = 1
+    kb = vals.size // nbands
+    vals = vals.reshape(nbands, kb)
+    idx = idx.reshape(nbands, kb)
+    dmb = ndm // nbands
+    saturated = int((vals.min(axis=1) > snr_thresh).sum())
+    keep = vals > snr_thresh
+    band_of = np.broadcast_to(np.arange(nbands)[:, None], vals.shape)
+    v, j, b = vals[keep], idx[keep], band_of[keep]
+    hits = np.stack([j // (dmb * ntime),
+                     b * dmb + (j // ntime) % dmb,
+                     j % ntime], axis=1)
+    return v, hits, n_crossings, saturated
+
+
 @partial(jax.jit, static_argnames=("engine", "widths", "k", "nbit",
-                                   "nchan"))
+                                   "nchan", "nbands", "thresh"))
 def _device_gulp(fb, plan, *, engine: str, widths: tuple, k: int,
-                 nbit: int, nchan: int):
+                 nbit: int, nchan: int, nbands: int, thresh: float):
     """One fused device program per gulp: [dequantize ->] dedisperse ->
-    boxcar S/N -> top-k crossings.  Cached across gulps (all arguments
-    that vary are traced; geometry is static)."""
+    boxcar S/N -> banded top-k crossings.  Cached across gulps (all
+    arguments that vary are traced; geometry is static)."""
     if nbit:
         fb = q_ops.dequantize(fb, nbit)
         fb = fb.reshape(fb.shape[0], -1)[:, :nchan]
@@ -82,17 +152,7 @@ def _device_gulp(fb, plan, *, engine: str, widths: tuple, k: int,
     else:
         dmt = dd.dedisperse(fb, plan, ntime_out)
     snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
-    # approx_max_k: TPU-native partitioned top-k — 38x faster than exact
-    # lax.top_k on the ~220M-element production cube (22.6 ms vs 851 ms
-    # measured, 99.8% top-1000 recall; exact on CPU where it lowers to
-    # sort).  A crossing the approximation drops is one of many duplicate
-    # threshold hits of the same pulse; clustering keeps the peak.
-    vals, idx = jax.lax.approx_max_k(snr.reshape(-1), k,
-                                     recall_target=0.95)
-    # pack (vals, idx) into ONE int32 array: a single host fetch per gulp
-    # instead of two (each fetch pays a full round-trip latency)
-    return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32),
-                      idx.astype(jnp.int32)])
+    return pack_topk_banded(snr, k, nbands, thresh)
 
 
 class SinglePulseSearch:
@@ -109,6 +169,14 @@ class SinglePulseSearch:
                                  nsub=nsub or scfg.nsub,
                                  nbatch=nbatch or scfg.nbatch,
                                  zap_ranges=scfg.zap_ranges)
+        # per-DM-band top-k quota (see pack_topk_banded); grids are padded
+        # to multiples of 128 so the default 8 always divides in production
+        self.nbands = (scfg.topk_dm_bands
+                       if len(self.dms) % max(1, scfg.topk_dm_bands) == 0
+                       else 1)
+        # decoded from the last gulp's packed return: total in-cube
+        # threshold crossings and how many DM bands overflowed their quota
+        self.last_gulp_stats = {"n_crossings": 0, "saturated_bands": 0}
 
     @property
     def overlap(self) -> int:
@@ -141,25 +209,23 @@ class SinglePulseSearch:
         fb_dev is (full, nchan) float32, or packed uint8 rows when
         nbit > 0 (dequantized on device — 16x less transfer at 2 bit).
         """
-        k = min(16 * self.scfg.max_candidates, 20000)
+        k = self.scfg.topk or min(16 * self.scfg.max_candidates, 20000)
         packed = _device_gulp(
             fb_dev, self.plan, engine=resolve_engine(self.scfg.engine),
-            widths=self.widths, k=k, nbit=nbit, nchan=len(self.freqs_mhz))
+            widths=self.widths, k=k, nbit=nbit, nchan=len(self.freqs_mhz),
+            nbands=self.nbands, thresh=float(self.scfg.snr_thresh))
         ntime_out = (fb_dev.shape[0] - self.plan.max_delay)
         return packed, (len(self.widths), len(self.dms), ntime_out)
 
     def _cands_from_crossings(self, packed, shape, t_offset, nvalid
                               ) -> List[dd.Candidate]:
-        # one fetch for the packed (2, k) int32 crossings (see
-        # _device_gulp); row 0 is bitcast float32 S/N, row 1 flat indices
-        arr = np.asarray(packed)
-        vals = arr[0].view(np.float32)
-        idx = arr[1].astype(np.int64)
+        # one fetch for the packed (2, nbands*kb + 1) int32 crossings;
+        # see pack_topk_banded for the layout and the quota policy
         nw, ndm, ntime = [int(s) for s in shape]
-        keep = vals > self.scfg.snr_thresh
-        vals, idx = vals[keep], idx[keep]
-        hits = np.stack([idx // (ndm * ntime), (idx // ntime) % ndm,
-                         idx % ntime], axis=1)
+        vals, hits, n_cross, saturated = decode_crossings(
+            packed, nw, ndm, ntime, self.nbands, self.scfg.snr_thresh)
+        self.last_gulp_stats = {"n_crossings": n_cross,
+                                "saturated_bands": saturated}
         cands = dd.cluster_hits(
             hits, vals, self.dms, self.tsamp, widths=self.widths,
             t_offset=t_offset, max_cands=self.scfg.max_candidates)

@@ -55,10 +55,10 @@ from vlite_fast_tpu.ops import quantize as q_ops
 
 class ArrayStepOutput(NamedTuple):
     packed_kur: jax.Array   # (nant, T, nbytes) per-beam filterbank bytes
-    beam_topk: jax.Array    # (ndev, beams_per_group, 2, k_beam) int32
+    beam_topk: jax.Array    # (ndev, beams_per_group, 2, nbands*kb+1) int32
                             # [d]: ant-row d//ntblk's beams, chunk d%ntblk;
-                            # row 0 bitcast f32 S/N, row 1 flat indices
-    coadd_topk: jax.Array   # (ndev, 2, k_co) int32 coadd crossings
+                            # banded packed crossings (pack_topk_banded)
+    coadd_topk: jax.Array   # (ndev, 2, nbands*kb_co+1) int32 coadd crossings
     weights_mean: jax.Array  # (nant,) mean RFI weight over the call
 
 
@@ -81,6 +81,7 @@ class ArraySearchInfo:
     k_beam: int
     k_co: int
     tsamp: float
+    nbands: int = 1   # per-DM-band top-k quota (search.pack_topk_banded)
 
 
 def build_array_step(acfg: ArrayConfig, mesh: Mesh,
@@ -143,11 +144,14 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh,
     k_co = min(k_co or max(512, 16 * scfg.max_candidates // (na * ntblk)),
                cube_co)
     inv_sqrt_nant = np.float32(1.0 / np.sqrt(nant))
+    nbands = (scfg.topk_dm_bands
+              if len(dms) % max(1, scfg.topk_dm_bands) == 0 else 1)
 
     info = ArraySearchInfo(
         widths=widths, dms=tuple(float(d) for d in dms), T=T, c=c, ca=ca,
         coadd_split=coadd_split, halo=halo, na=na, ntblk=ntblk, m=m, mg=mg,
-        nant=nant, k_beam=k_beam, k_co=k_co, tsamp=cfg.tsamp)
+        nant=nant, k_beam=k_beam, k_co=k_co, tsamp=cfg.tsamp,
+        nbands=nbands)
 
     def _dedisp(span, ntime_out):
         if engine == "pallas":
@@ -159,13 +163,13 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh,
         return dd.dedisperse(span, plan, ntime_out)
 
     def _search_topk(span, ntime_out, k):
-        """span: (ntime_out + halo, nchan) f32 -> (2, k) packed crossings."""
+        """span: (ntime_out + halo, nchan) f32 -> (2, nbands*kb + 1)
+        packed crossings, per-DM-band quota'd (search.pack_topk_banded —
+        the same RFI-storm guard the single-chip path uses)."""
         dmt = _dedisp(span, ntime_out)
         snr = dd.boxcar_snr(dmt, plan.nchan_eff, widths)
-        vals, idx = jax.lax.approx_max_k(snr.reshape(-1), k,
-                                         recall_target=0.95)
-        return jnp.stack([jax.lax.bitcast_convert_type(vals, jnp.int32),
-                          idx.astype(jnp.int32)])
+        return search_mod.pack_topk_banded(snr, k, nbands,
+                                           float(scfg.snr_thresh))
 
     def _dequant(packed):
         fb = q_ops.dequantize(packed, cfg.nbit)
@@ -272,35 +276,38 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh,
 def extract_candidates(out: ArrayStepOutput, info: ArraySearchInfo,
                        scfg: SearchConfig, call_base: int = 0
                        ) -> Tuple[Dict[int, List[dd.Candidate]],
-                                  List[dd.Candidate]]:
+                                  List[dd.Candidate], Dict[str, int]]:
     """Decode one step's packed crossings into the candidate plane.
 
-    Returns ({beam: [Candidate]}, [coadd Candidate]) with peak/i0/i1
-    sample indices ABSOLUTE in the observation's output-sample stream
-    (call_base = T * call_index).  The searched span of call k is
+    Returns ({beam: [Candidate]}, [coadd Candidate], stats) with peak/
+    i0/i1 sample indices ABSOLUTE in the observation's output-sample
+    stream (call_base = T * call_index).  The searched span of call k is
     [call_base - halo, call_base + T - halo): the trailing halo samples
     wait for the next call's lookahead, exactly like heimdall's gulp
     overlap.  Crossings below scfg.snr_thresh or before sample 0 are
-    dropped; clustering is the single-chip cluster_hits.
+    dropped; clustering is the single-chip cluster_hits.  stats carries
+    the in-graph crossing counts and the number of saturated top-k DM
+    bands across all shards (search.decode_crossings semantics).
     """
     dms = np.asarray(info.dms)
     nw, ndm = len(info.widths), len(dms)
+    stats = {"n_crossings": 0, "saturated_bands": 0}
 
-    btk = np.asarray(out.beam_topk)      # (ndev, mg, 2, k)
+    btk = np.asarray(out.beam_topk)      # (ndev, mg, 2, nbands*kb+1)
     per_beam_hits: Dict[int, list] = {}
     for d in range(btk.shape[0]):
         a, t = d // info.ntblk, d % info.ntblk
         base = call_base - info.halo + t * info.c
         for j in range(info.mg):
             beam = a * info.mg + j
-            vals = btk[d, j, 0].view(np.float32)
-            idx = btk[d, j, 1].astype(np.int64)
-            keep = vals > scfg.snr_thresh
-            if not keep.any():
+            vals, hits, n_cross, sat = search_mod.decode_crossings(
+                btk[d, j], nw, ndm, info.c, info.nbands, scfg.snr_thresh)
+            stats["n_crossings"] += n_cross
+            stats["saturated_bands"] += sat
+            if not len(vals):
                 continue
-            vals, idx = vals[keep], idx[keep]
-            hits = np.stack([idx // (ndm * info.c), (idx // info.c) % ndm,
-                             idx % info.c + base], axis=1)
+            hits = hits.copy()
+            hits[:, 2] += base
             ok = hits[:, 2] >= 0
             if ok.any():
                 h, v = per_beam_hits.setdefault(beam, ([], []))
@@ -313,7 +320,7 @@ def extract_candidates(out: ArrayStepOutput, info: ArraySearchInfo,
             np.concatenate(h), np.concatenate(v), dms, info.tsamp,
             widths=info.widths, max_cands=scfg.max_candidates)
 
-    ctk = np.asarray(out.coadd_topk)     # (ndev, 2, k_co)
+    ctk = np.asarray(out.coadd_topk)     # (ndev, 2, nbands*kb_co+1)
     ch, cv = [], []
     for d in range(ctk.shape[0]):
         a, t = d // info.ntblk, d % info.ntblk
@@ -321,14 +328,14 @@ def extract_candidates(out: ArrayStepOutput, info: ArraySearchInfo,
             continue            # unsplit: every ant row searched the same
         base = call_base - info.halo + t * info.c + a * info.ca \
             if info.coadd_split else call_base - info.halo + t * info.c
-        vals = ctk[d, 0].view(np.float32)
-        idx = ctk[d, 1].astype(np.int64)
-        keep = vals > scfg.snr_thresh
-        if not keep.any():
+        vals, hits, n_cross, sat = search_mod.decode_crossings(
+            ctk[d], nw, ndm, info.ca, info.nbands, scfg.snr_thresh)
+        stats["n_crossings"] += n_cross
+        stats["saturated_bands"] += sat
+        if not len(vals):
             continue
-        vals, idx = vals[keep], idx[keep]
-        hits = np.stack([idx // (ndm * info.ca), (idx // info.ca) % ndm,
-                         idx % info.ca + base], axis=1)
+        hits = hits.copy()
+        hits[:, 2] += base
         ok = hits[:, 2] >= 0
         if ok.any():
             ch.append(hits[ok])
@@ -338,4 +345,4 @@ def extract_candidates(out: ArrayStepOutput, info: ArraySearchInfo,
         coadd_cands = dd.cluster_hits(
             np.concatenate(ch), np.concatenate(cv), dms, info.tsamp,
             widths=info.widths, max_cands=scfg.max_candidates)
-    return per_beam, coadd_cands
+    return per_beam, coadd_cands, stats

@@ -426,6 +426,14 @@ class StationPipeline:
                 found = self.search.search_gulp_packed(
                     packed, self.cfg.nbit, t_offset=self._searched_to)
             out.extend(found)
+            # top-k saturation accounting (RFI-storm guard): count gulps
+            # where a DM band's quota overflowed and crossings were
+            # dropped on device — the operator signal to feed zap_ranges
+            st = self.search.last_gulp_stats
+            self.metrics.set("vfast_gulp_crossings", st["n_crossings"])
+            if st["saturated_bands"]:
+                self.metrics.inc("vfast_topk_saturated_total",
+                                 st["saturated_bands"])
             if found:
                 # gulp-bound candidate latency in data time (the
                 # reference documents 40-50 s, trigger.py:164-166)
