@@ -312,7 +312,7 @@ def dedisperse_reference(fb: np.ndarray, delays: np.ndarray,
 def boxcar_snr(dmt: jax.Array, nchan_eff: float,
                widths: tuple = (1, 2, 4, 8, 16, 32, 64),
                noise: str = "measured",
-               noise_subsample: int = 2048) -> jax.Array:
+               noise_subsample: int = 8192) -> jax.Array:
     """Matched-filter S/N over boxcar widths.
 
     dmt: (ndm, ntime) channel-summed DM-time plane.  Baseline (per-DM
@@ -325,11 +325,16 @@ def boxcar_snr(dmt: jax.Array, nchan_eff: float,
     bandpass residuals don't bias S/N; 'expected' assumes unit-variance
     channels (sigma = sqrt(nchan_eff)).
 
-    noise_subsample: the median is a full SORT on TPU; estimating it from
-    ~noise_subsample strided samples per trial (exact when ntime is
-    already that small — all test geometries) cuts 29 ms off the
-    production gulp for a sigma jitter of ~1/sqrt(2*2048) ~ 1.6%, well
-    under the S/N resolution the threshold cares about.  0 = exact.
+    noise_subsample: the median is a full SORT on TPU; estimating it
+    from ~noise_subsample strided samples per trial (exact when ntime
+    is already that small — all test geometries) cuts most of the
+    29 ms full-sort cost from the production gulp.  Measured against
+    the exact sort at production geometry (tests/test_noise_estimate
+    .py, 1024 trials x 30720 samples): stride-3 (10240 samples) gives
+    per-trial sigma jitter ~1.0% RMS, worst-of-1024-trials ~2.8% —
+    a 6.0 threshold wobbles by under 0.2 S/N on the unluckiest trial
+    (2048 strided samples measured 2.5% RMS / 8.5% worst: too loose).
+    0 = exact.
     """
     ndm, ntime = dmt.shape
     base = jnp.mean(dmt, axis=1, keepdims=True)
