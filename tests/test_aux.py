@@ -283,3 +283,33 @@ class TestCLI:
                   "--buflen", "250000", "-o", str(out)])
         assert out.stat().st_size > 100_000
         cli.main(["unwrap", str(out)])
+
+
+def test_perf_cost_models():
+    """utils/perf: the analytic cost models track the geometry and the
+    XLA cost hook degrades gracefully (VERDICT r2 #9 grounding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.models import search as search_mod
+    from vlite_fast_tpu.utils import perf
+
+    cfg = PipelineConfig()          # production geometry
+    dft = perf.dft_flops_per_data_second(cfg)
+    # 2 pol x 10240 frames x (4*100^2*125 + 8*100*125*63) flops
+    assert dft["nominal_flops"] == 2 * 10240 * (4 * 100 * 100 * 125
+                                                + 8 * 100 * 125 * 63)
+    assert dft["hw_bf16_flops"] == 3 * dft["nominal_flops"]  # bf16x3
+    assert perf.chain_hbm_bytes_per_data_second(cfg) > 2 * 4 * 2 * 128e6
+
+    scfg = SearchConfig(dm_grid_mode="linear")
+    eng = search_mod.SinglePulseSearch(scfg, cfg.tsamp, cfg.freqs_mhz())
+    c = perf.dedisp_pallas_cost(eng.plan, cfg.nchanout, scfg.gulp_samps)
+    assert c["hbm_bytes"] > 4 * scfg.gulp_samps * cfg.nchanout  # > one fb
+    assert c["adds"] > 1024 * scfg.gulp_samps  # > one add/dm/sample
+    assert 0 < c["sol_hbm_s"] < 1.0
+
+    out = perf.xla_cost(jax.jit(lambda x: jnp.sum(x * 2)),
+                        np.ones(16, np.float32))
+    assert isinstance(out, dict)    # {} allowed on unsupported backends
