@@ -105,6 +105,118 @@ def test_launch_print_remote_plan(tmp_path, capsys):
     assert "--trigger-port 24203" in lines[1]
 
 
+@pytest.mark.slow
+def test_launch_remote_plan_candidate_shipping(tmp_path, capsys):
+    """VERDICT r2 item 7: a 2-'host' launch with candidate shipping over
+    real sockets via the --print-remote path.  The 'remote' station is
+    started from the EXACT command line the ssh fan-out plan emits (ssh
+    prefix + shell redirects stripped, running locally — this environment
+    has no second machine), the leader binds wildcard as it would for a
+    real remote array, and a cross-beam coincidence trigger must flow:
+    station candidates -> leader coincidencer (TCP) -> trigger fanout
+    (UDP) -> both stations' dumpers."""
+    import shlex
+    import subprocess
+    import sys as _sys
+    import time as _t
+
+    from vlite_fast_tpu.runtime.leader_main import Leader
+
+    cfgp = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+    sources = []
+    for k in range(2):
+        s = synthesis.SynthConfig(
+            tobs=2.0, dm=300.0, pulse_period=0.05, skip_period=16,
+            amp=0.4, seed=31 + k, sample_rate=cfgp.sample_rate,
+            freq_bot_mhz=320.0, bandwidth_mhz=0.5, buflen=250_000)
+        stream, _ = synthesis.generate_vdif(s, ref_epoch=40,
+                                            start_second=100,
+                                            station_id=k + 1)
+        path = tmp_path / f"ant{k + 1}.vdif"
+        stream.tofile(path)
+        sources.append(f"file:{path}")
+
+    acfg = ArrayConfig(
+        antennas=(
+            AntennaConfig(station_id=1, name="ea01", source=sources[0]),
+            AntennaConfig(station_id=2, name="ea02", host="vd02",
+                          source=sources[1])),
+        pipeline=cfgp,
+        search=SearchConfig(dm_min=0.0, dm_max=600.0, ndm=61,
+                            gulp_samps=512, boxcar_max=16, zap_ranges=(),
+                            snr_thresh=6.0, dm_grid_mode="linear"),
+        trigger=TriggerConfig(snr_thresh=7.5, min_beams=2, min_dm=20.0),
+        command_port=26101, coincidencer_port=26155,
+        trigger_port_base=26200)
+    cfg_path = tmp_path / "array.json"
+    acfg.save(str(cfg_path))
+    out = str(tmp_path / "products")
+
+    # 1. capture the fan-out plan for the remote station
+    cli.main(["launch", str(cfg_path), "--out-dir", out,
+              "--print-remote", "--leader-addr", "127.0.0.1",
+              "--platform", "cpu"])
+    plan = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert len(plan) == 1 and plan[0].startswith("ssh vd02 nohup ")
+    # 2. the command a real deployment would run on vd02, executed here:
+    #    strip `ssh vd02 nohup`, drop the shell-redirect tail, keep argv
+    toks = shlex.split(plan[0])[3:]
+    toks = [t for t in toks if t not in ("</dev/null", ">/dev/null",
+                                         "2>&1", "&")]
+    assert toks[0] == "python3"
+    remote_cmd = [_sys.executable] + toks[1:]
+
+    leader = Leader(acfg, out)
+    procs = []
+    try:
+        # leader is wired for a remote array: wildcard bind + per-host
+        # trigger fanout (the remote row resolves to vd02 -> unreachable
+        # from here, so point it back at loopback for the socket test)
+        assert leader.coincidencer._srv.getsockname()[0] == "0.0.0.0"
+        assert leader.sender.endpoints[1][0] == "vd02"
+        leader.sender.endpoints[1] = ("127.0.0.1",
+                                      leader.sender.endpoints[1][1])
+        procs.append(subprocess.Popen(remote_cmd))
+        procs.append(subprocess.Popen(
+            [_sys.executable, "-m", "vlite_fast_tpu.runtime.station_main",
+             "--station", "1", "--config", str(cfg_path),
+             "--source", sources[0], "--out-dir", out,
+             "--leader", "127.0.0.1",
+             "--command-port", str(acfg.command_port),
+             "--coincidencer", f"127.0.0.1:{acfg.coincidencer_port}",
+             "--trigger-port", str(acfg.trigger_port_base + 1),
+             "--platform", "cpu"]))
+        assert leader.wait_for_stations(2, timeout=120)
+        leader.fake_observation()
+        deadline = _t.time() + 150
+        while _t.time() < deadline:
+            if leader.coincidencer.triggers:
+                _t.sleep(3.0)
+                break
+            _t.sleep(0.5)
+        leader.stop_observation()
+        _t.sleep(2.0)
+    finally:
+        leader.shutdown()
+        for pr in procs:
+            try:
+                pr.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                pr.terminate()
+                try:
+                    pr.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    pr.kill()
+
+    # the coincidence required BOTH beams (min_beams=2), so candidates
+    # from the plan-launched station crossed the TCP socket
+    assert len(leader.coincidencer.triggers) >= 1
+    dumps = glob.glob(os.path.join(out, "dumps", "*.vdif"))
+    assert len(dumps) >= 2
+    for d in dumps:
+        assert os.path.getsize(d) > 0
+
+
 def test_leader_binds_wildcard_for_remote_arrays(tmp_path):
     """With any remote antenna host, the leader's command bus and
     coincidencer must bind 0.0.0.0 (remote stations dial in) and trigger

@@ -267,7 +267,15 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh,
         tail = rng.integers(0, 256, (nant, halo, nbytes),
                             dtype=np.uint8)
         sh = NamedSharding(mesh, spec_at)
-        put = lambda a: jax.device_put(a, sh)
+
+        def put(a):
+            # make_array_from_callback instead of device_put: in a
+            # multi-controller run each process materializes only its
+            # addressable shards, so the same make_inputs serves the
+            # single-process virtual mesh AND the 2-process DCN test
+            return jax.make_array_from_callback(a.shape, sh,
+                                                lambda idx: a[idx])
+
         return put(raw), put(bp), put(bp.copy()), put(tail)
 
     return step_fn, make_inputs, plan, info
