@@ -86,8 +86,16 @@ class ArraySearchInfo:
 
 def build_array_step(acfg: ArrayConfig, mesh: Mesh,
                      nsec_per_call: int = 1,
-                     k_beam: int = 0, k_co: int = 0):
+                     k_beam: int = 0, k_co: int = 0,
+                     inject_sec: int = -1):
     """Returns (step_fn, make_inputs, plan, info).
+
+    inject_sec >= 0 arms the chain's FRB injection (requires
+    pipeline.inject_frb=True) at the top of that second of the call, on
+    every antenna — the in-graph signal test of the reference
+    (src/process_baseband.cu:1098-1102 arms every 60 s); the search must
+    then recover the burst at pipeline.inject_dm in every beam and in
+    the coadd.
 
     step_fn(raw, bp, bp_kur, tail) -> (ArrayStepOutput, (bp2, bpk2, tail2))
       raw:  (nant, npol, nsec_per_call*sample_rate) uint8, P(('ant','time'))
@@ -183,13 +191,17 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh,
             st = dsp.init_state(cfg)._replace(bp=bp_a, bp_kur=bpk_a)
             secs = raw_a.reshape(cfg.npol_in, nsec_per_call, -1)
             secs = jnp.swapaxes(secs, 0, 1)
+            sec_idx = jnp.arange(nsec_per_call, dtype=jnp.int32)
 
-            def step(s, sec):
-                o, s2 = dsp.process_second(cfg, sec, s, jnp.bool_(False))
+            def step(s, sec_i):
+                sec, i = sec_i
+                arm = (jnp.equal(i, inject_sec) if inject_sec >= 0
+                       else jnp.bool_(False))
+                o, s2 = dsp.process_second(cfg, sec, s, arm)
                 pk = o.packed_kur if use_kur else o.packed
                 return s2, (pk, o.weights.mean())
 
-            st2, (pk, wm) = jax.lax.scan(step, st, secs)
+            st2, (pk, wm) = jax.lax.scan(step, st, (secs, sec_idx))
             return (pk.reshape(T, nbytes), wm.mean(),
                     st2.bp, st2.bp_kur)
 
