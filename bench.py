@@ -41,30 +41,52 @@ PROBE_BUDGET_S = int(os.environ.get("VFAST_BENCH_PROBE_BUDGET", "900"))
 PROBE_BACKOFF_S = 60
 
 
-def _backend_ready() -> bool:
-    """One subprocess probe: can jax see a device within the timeout?"""
+def _backend_probe() -> str:
+    """One subprocess probe: 'ok' (device visible), 'down' (init raised),
+    or 'blocked' (init hung past the timeout).
+
+    A hung probe gets SIGTERM + a grace period, NEVER an immediate
+    SIGKILL: killing a client mid-device-acquisition leaves a stale
+    tunnel lease that blocks the next client for many minutes — the
+    exact stall the retry loop exists to survive."""
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; assert len(jax.devices()) > 0"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert len(jax.devices()) > 0"],
-            timeout=PROBE_TIMEOUT_S, capture_output=True)
-        return r.returncode == 0
+        rc = p.wait(timeout=PROBE_TIMEOUT_S)
+        return "ok" if rc == 0 else "down"
     except subprocess.TimeoutExpired:
-        return False
+        p.terminate()                 # graceful: lets jax release the lease
+        try:
+            p.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+        return "blocked"
 
 
 def wait_for_backend() -> None:
     """Retry the probe with backoff until it passes or the budget runs
     out; on exhaustion still fall through to the real attempt (nothing
-    is lost vs failing immediately, and init may yet succeed)."""
+    is lost vs failing immediately, and init may yet succeed).  A probe
+    that HANGS (vs raising) means the backend is in its blocking-init
+    mode — stop probing immediately and let the real run do the one
+    long wait, instead of stacking more clients onto the lease."""
     t0 = time.monotonic()
     attempt = 0
     while True:
         attempt += 1
-        if _backend_ready():
+        state = _backend_probe()
+        if state == "ok":
             if attempt > 1:
                 print(f"bench: backend up after {attempt} probes "
                       f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+            return
+        if state == "blocked":
+            print("bench: backend init is blocking (probe hung "
+                  f"{PROBE_TIMEOUT_S}s); proceeding to the real run's "
+                  "single long wait", file=sys.stderr)
             return
         waited = time.monotonic() - t0
         if waited >= PROBE_BUDGET_S:

@@ -352,6 +352,21 @@ bad line
     assert d == pytest.approx({10: 5021.0e-9, 3: -120.5e-9, 24: 0.0})
 
 
+def test_parse_correlator_delays_path_with_space(tmp_path):
+    """A single-line argument is a file PATH — spaces and all; a
+    mistyped path raises instead of silently parsing as empty text
+    (which would yield all-zero clock offsets and a confidently wrong
+    RA/Dec)."""
+    d = tmp_path / "obs run1"
+    d.mkdir()
+    p = d / "vliteantennas.in"
+    p.write_text("0 10 vlite-difx7 p1p2 5021.000000 E08 5021.000000 1\n")
+    assert loc.parse_correlator_delays(str(p)) == pytest.approx(
+        {10: 5021.0e-9})
+    with pytest.raises(FileNotFoundError):
+        loc.parse_correlator_delays(str(d / "nope.in"))
+
+
 def test_fit_sky_recovers_injected_radec():
     """Exact-delay round trip at real VLA coordinates: pick a visible sky
     direction, model the baseline delays (with per-antenna clock

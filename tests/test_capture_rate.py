@@ -88,14 +88,45 @@ def test_clock_skew_detected():
     assert "wall clock" in asm.stats.abort_reason()
 
 
-def test_out_of_order_counts_anomalous():
-    stream, _ = make_stream(nsec=1)
+def test_reordered_frames_still_placed():
+    """Benign UDP reordering (multi-queue NICs routinely deliver the two
+    pol threads or adjacent frames swapped) must fill its empty slot —
+    dedup is per-slot occupancy, not index order.  A swap is neither
+    anomalous nor a skip, and the payload survives intact."""
+    stream, samples = make_stream(nsec=2)
     fb = C.VDIF_FRAME_BYTES
     frames = stream.reshape(-1, fb).copy()
     frames[[30, 31]] = frames[[31, 30]]  # swap two frames
+    frames[[100, 103]] = frames[[103, 100]]  # swap across a stride
     asm = capture.SecondAssembler(sample_rate=RATE)
-    asm.feed_stream(frames.reshape(-1))
-    assert asm.stats.anomalous >= 1
+    done = asm.feed_stream(frames.reshape(-1))
+    assert asm.stats.anomalous == 0
+    assert asm.stats.skipped == 0
+    np.testing.assert_array_equal(done[0][1], samples[:, :RATE])
+
+
+def test_reordered_frame_via_feed_path():
+    """Same first-arrival-by-slot semantics on the scalar feed() path:
+    frames arriving 5, 7, 6 all land; the transient hole at 6 is
+    un-counted from `skipped` when 6 arrives."""
+    rate = 50_000
+    asm = capture.SecondAssembler(sample_rate=rate)
+    fps = rate // C.VDIF_DATA_BYTES
+    val = lambda f, th: np.full(C.VDIF_DATA_BYTES, 10 * f + th + 1,
+                                np.uint8)
+    order = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0),
+             (3, 0), (2, 1),              # pol threads swapped
+             (3, 1)]
+    order += [(f, th) for f in range(4, fps) for th in (0, 1)]
+    done = []
+    for f, th in order:
+        done += asm.feed(8, f, th, val(f, th))
+    assert asm.stats.skipped == 0 and asm.stats.anomalous == 0
+    done += asm.feed(9, 0, 0, val(0, 0))
+    _, buf = done[0]
+    for f, th in order:
+        seg = buf[th, f * C.VDIF_DATA_BYTES:(f + 1) * C.VDIF_DATA_BYTES]
+        np.testing.assert_array_equal(seg, val(f, th))
 
 
 def test_ring_full_abort_reason():

@@ -125,6 +125,33 @@ def test_quiet_gulp_not_saturated():
     assert eng.last_gulp_stats["saturated_bands"] == 0
 
 
+def test_full_band_return_never_saturated():
+    """When kb covers a band's entire cube, every crossing was returned
+    and nothing can have been dropped on device — even a cube that is
+    all-above-threshold must not count as saturated (a false saturation
+    would tell the operator to zap channels for no reason)."""
+    nw, ndm, ntime = 2, 8, 10
+    snr = jnp.full((nw, ndm, ntime), 50.0, jnp.float32)
+    nbands = 4
+    k = nw * ndm * ntime  # kb = whole band cube
+    packed = search_mod.pack_topk_banded(snr, k, nbands, 6.0)
+    vals, hits, n_cross, sat = search_mod.decode_crossings(
+        np.asarray(packed), nw, ndm, ntime, nbands, 6.0)
+    assert n_cross == nw * ndm * ntime
+    assert len(vals) == nw * ndm * ntime
+    assert sat == 0
+
+
+def test_effective_nbands_single_definition():
+    """Device packer and host decoder must share ONE divisibility
+    fallback (review finding: four duplicated copies risked silent
+    desync of the wire layout)."""
+    assert search_mod.effective_nbands(1024, 8) == 8
+    assert search_mod.effective_nbands(1000, 8) == 8
+    assert search_mod.effective_nbands(1001, 8) == 1
+    assert search_mod.effective_nbands(7, 0) == 1
+
+
 def test_pack_decode_roundtrip_matches_exact_topk():
     """pack_topk_banded/decode_crossings invert each other and agree
     with an exact per-band numpy top-k on a random cube (CPU

@@ -1,6 +1,7 @@
 """Coincidencer/trigger plane tests (ref src/trigger.py, candidate.py)."""
 
 import numpy as np
+import pytest
 
 from vlite_fast_tpu.config import TriggerConfig
 from vlite_fast_tpu.ops.dedisperse import Candidate
@@ -136,6 +137,18 @@ def test_trigger_legacy_wire_format():
     assert t2.sn == 0.0 and t2.dm == 0.0
     # canonical stays byte-compatible with the C struct layout
     assert len(t.pack()) == struct.calcsize("<ddffff128s")
+
+
+def test_trigger_truncated_datagram_raises():
+    """Only an EXACT 144-byte datagram is the legacy layout; a canonical
+    trigger_t truncated to 145-159 bytes must raise loudly instead of
+    misparsing its sn/dm/width bytes into the meta field."""
+    import struct
+    t = trig.Trigger(t0=1.5, t1=3.25, sn=12.5, dm=80.0, width=0.004,
+                     peak_time=2.0, meta="trunc")
+    for n in (150, 159, 100, 10):
+        with pytest.raises(struct.error):
+            trig.Trigger.unpack(t.pack()[:n])
 
 
 def test_coadd_snr_bar_above_beam_bar():

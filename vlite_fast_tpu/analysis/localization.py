@@ -122,7 +122,10 @@ def parse_correlator_delays(path_or_text: str) -> dict:
     {antenna_number: delay_seconds} (ref loc_step3.py:98-146; line format
     '0 10 vlite-difx7 p1p2 5021.000000 E08 5021.000000 1' = vlite input 0
     is ea10 with 5021 ns delay)."""
-    if "\n" in path_or_text or " " in path_or_text.strip():
+    # a single-line argument is a file path (spaces and all — a one-line
+    # delay table is useless, and a mistyped path must raise, not parse
+    # as empty text); inline table text always has newlines
+    if "\n" in path_or_text:
         text = path_or_text
     else:
         with open(path_or_text) as fh:

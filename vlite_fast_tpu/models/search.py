@@ -62,6 +62,14 @@ def boxcar_widths(boxcar_max: int) -> tuple:
     return tuple(out)
 
 
+def effective_nbands(ndm: int, requested: int) -> int:
+    """The per-DM-band top-k quota layout (pack_topk_banded) requires
+    nbands | ndm; fall back to one global band otherwise.  This is THE
+    single definition both the device packer and the host decoder use —
+    they must agree or indices land in the wrong DM band."""
+    return requested if requested >= 1 and ndm % requested == 0 else 1
+
+
 def pack_topk_banded(snr: jax.Array, k: int, nbands: int,
                      thresh: float) -> jax.Array:
     """(nw, ndm, ntime) S/N cube -> (2, nbands*kb + 1) int32 packed
@@ -87,8 +95,7 @@ def pack_topk_banded(snr: jax.Array, k: int, nbands: int,
     instead of two/three (each fetch pays a full round-trip latency).
     """
     nw, ndm, ntime = snr.shape
-    if ndm % nbands:
-        nbands = 1
+    nbands = effective_nbands(ndm, nbands)
     kb = max(1, min(k // nbands, nw * (ndm // nbands) * ntime))
     count = jnp.sum(snr > jnp.float32(thresh)).astype(jnp.int32)
     banded = snr.reshape(nw, nbands, ndm // nbands, ntime)
@@ -116,13 +123,18 @@ def decode_crossings(packed: np.ndarray, nw: int, ndm: int, ntime: int,
     n_crossings = int(arr[0, -1])
     vals = arr[0, :-1].view(np.float32)
     idx = arr[1, :-1].astype(np.int64)
-    if ndm % nbands:
-        nbands = 1
+    nbands = effective_nbands(ndm, nbands)
     kb = vals.size // nbands
     vals = vals.reshape(nbands, kb)
     idx = idx.reshape(nbands, kb)
     dmb = ndm // nbands
-    saturated = int((vals.min(axis=1) > snr_thresh).sum())
+    # a band whose every returned slot crossed threshold dropped its
+    # (kb+1)-th crossing on device — UNLESS kb covers the entire band
+    # cube, in which case nothing can have been dropped
+    if kb >= nw * dmb * ntime:
+        saturated = 0
+    else:
+        saturated = int((vals.min(axis=1) > snr_thresh).sum())
     keep = vals > snr_thresh
     band_of = np.broadcast_to(np.arange(nbands)[:, None], vals.shape)
     v, j, b = vals[keep], idx[keep], band_of[keep]
@@ -171,9 +183,7 @@ class SinglePulseSearch:
                                  zap_ranges=scfg.zap_ranges)
         # per-DM-band top-k quota (see pack_topk_banded); grids are padded
         # to multiples of 128 so the default 8 always divides in production
-        self.nbands = (scfg.topk_dm_bands
-                       if len(self.dms) % max(1, scfg.topk_dm_bands) == 0
-                       else 1)
+        self.nbands = effective_nbands(len(self.dms), scfg.topk_dm_bands)
         # decoded from the last gulp's packed return: total in-cube
         # threshold crossings and how many DM bands overflowed their quota
         self.last_gulp_stats = {"n_crossings": 0, "saturated_bands": 0}

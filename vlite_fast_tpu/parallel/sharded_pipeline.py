@@ -152,8 +152,7 @@ def build_array_step(acfg: ArrayConfig, mesh: Mesh,
     k_co = min(k_co or max(512, 16 * scfg.max_candidates // (na * ntblk)),
                cube_co)
     inv_sqrt_nant = np.float32(1.0 / np.sqrt(nant))
-    nbands = (scfg.topk_dm_bands
-              if len(dms) % max(1, scfg.topk_dm_bands) == 0 else 1)
+    nbands = search_mod.effective_nbands(len(dms), scfg.topk_dm_bands)
 
     info = ArraySearchInfo(
         widths=widths, dms=tuple(float(d) for d in dms), T=T, c=c, ca=ca,

@@ -96,6 +96,12 @@ class SecondAssembler:
         self.log = make_logger("capture")
         self._current_sec: Optional[int] = None
         self._buf = np.zeros((2, sample_rate), dtype=np.uint8)
+        # per-slot first-arrival mask of the in-progress second: dedup is
+        # "was this (pol, frame) slot already written", NOT "does the
+        # index advance" — benign UDP reordering (multi-queue NICs, the
+        # two pol threads swapping) must still land in its empty slot
+        self._slot_filled = np.zeros(
+            (2, -(-sample_rate // C.VDIF_DATA_BYTES)), dtype=bool)
         self._filled = 0
         self._started = False
         self._last_index: Optional[int] = None  # dual-pol frame counter
@@ -114,17 +120,15 @@ class SecondAssembler:
 
     def _account_gap(self, seconds: int, frame: int, thread: int) -> bool:
         """Dual-pol frame-index arithmetic (ref writer.c:310-342): any jump
-        of more than 1 means frames were lost and will stay zero-filled.
-        Returns True if the frame ADVANCES the stream; False for
-        duplicates/out-of-order frames, whose payload must not be placed
-        (a corrupt duplicate arriving after the good frame would
-        overwrite valid samples — keep first-arrival payloads only)."""
+        of more than 1 means frames were lost and will stay zero-filled
+        unless a reordered arrival fills the hole later.  Returns True if
+        the frame ADVANCES the stream's high-water index; False for
+        frames at or behind it (duplicates OR benign reordering — the
+        caller decides by slot occupancy, not by index order)."""
         idx = int(self._frame_index(seconds, frame, thread))
         if self._last_index is not None:
             diff = idx - self._last_index
             if diff <= 0:
-                self.stats.anomalous += 1
-                self._maybe_warn()
                 return False
             if diff > 1:
                 self.stats.skipped += diff - 1
@@ -155,6 +159,7 @@ class SecondAssembler:
     def _flush(self):
         out = (self._current_sec, self._buf)
         self._buf = np.zeros((2, self.sample_rate), dtype=np.uint8)
+        self._slot_filled[:] = False
         self._filled = 0
         return out
 
@@ -169,11 +174,14 @@ class SecondAssembler:
             self._started = True
             self._current_sec = seconds
             self._check_wallclock(seconds)
-        if not self._account_gap(seconds, frame, thread):
-            return done           # duplicate/rewind: never place payload
+        advanced = self._account_gap(seconds, frame, thread)
+        if not advanced and seconds != self._current_sec:
+            # behind the stream AND not of the in-progress second: the
+            # buffer it belonged to is gone — unusable duplicate/rewind
+            self.stats.anomalous += 1
+            self._maybe_warn()
+            return done
         if seconds != self._current_sec:
-            if seconds < self._current_sec:
-                return done       # counted as anomalous by _account_gap
             while self._current_sec < seconds:
                 done.append(self._flush())
                 self.stats.seconds += 1
@@ -186,7 +194,18 @@ class SecondAssembler:
             self.stats.anomalous += 1
             self._maybe_warn()
             return done
+        if self._slot_filled[pol, frame]:
+            # true duplicate: first arrival wins (a corrupt duplicate
+            # must not overwrite good samples)
+            self.stats.anomalous += 1
+            self._maybe_warn()
+            return done
         self._buf[pol, off:off + n] = payload[:n]
+        self._slot_filled[pol, frame] = True
+        if not advanced:
+            # a reordered arrival just filled a hole that the jump
+            # accounting had already counted as skipped
+            self.stats.skipped -= 1
         self._filled += 1
         self.stats.frames += 1
         return done
@@ -236,28 +255,36 @@ class SecondAssembler:
             cur = self._current_sec
             while j < nframes and secs[j] == cur and frm[j] < fps:
                 j += 1
-            # gap + order accounting over the run in one pass; frames
-            # whose dual-pol index does not advance past the running max
-            # (duplicates / out-of-order arrivals) are counted anomalous
-            # and their payload is NOT placed — first arrival wins (a
-            # corrupt duplicate must not overwrite good samples)
+            # gap + dedup accounting over the run in one pass.  Gaps are
+            # counted against the RUNNING MAX index (holes opened by
+            # forward jumps); dedup is per (pol, frame) SLOT occupancy —
+            # first arrival wins (a corrupt duplicate must not overwrite
+            # good samples) but benign reordering still fills its hole,
+            # and a refilled hole un-counts its skip
             idx = self._frame_index(secs[i:j], frm[i:j], thr[i:j])
             prev = self._last_index if self._last_index is not None \
                 else idx[0] - 1
             run_max = np.maximum.accumulate(
                 np.concatenate([[prev], idx]))[:-1]
-            keep = idx > run_max
-            d = np.diff(np.concatenate([[prev], idx]))
+            advancing = idx > run_max
+            jumps = int((idx - run_max - 1)[advancing].sum())
+            self.stats.skipped += jumps
+            pol = (thr[i:j] != 0).astype(np.int64)
+            slot = pol * self._slot_filled.shape[1] + frm[i:j]
+            flat = self._slot_filled.reshape(-1)
+            first_here = np.zeros(len(slot), dtype=bool)
+            first_here[np.unique(slot, return_index=True)[1]] = True
+            keep = first_here & ~flat[slot]
             bad = int((~keep).sum())
             self.stats.anomalous += bad
-            self.stats.skipped += int(d[d > 1].sum() - (d > 1).sum())
-            if bad or (d > 1).any():
+            self.stats.skipped -= int((keep & ~advancing).sum())
+            if bad or jumps:
                 self._maybe_warn()
-            pol = (thr[i:j][keep] != 0).astype(np.int64)
             bufv = self._buf.reshape(2, fps, C.VDIF_DATA_BYTES)
-            bufv[pol, frm[i:j][keep]] = payload_view[i:j][keep]
+            bufv[pol[keep], frm[i:j][keep]] = payload_view[i:j][keep]
+            flat[slot[keep]] = True
             self._last_index = int(max(int(idx.max()), prev))
-            nkept = j - i - bad
+            nkept = int(keep.sum())
             self.stats.frames += nkept
             self._filled += nkept
             i = j

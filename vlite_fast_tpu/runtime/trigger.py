@@ -133,10 +133,16 @@ class Trigger:
         # slice exactly calcsize bytes so senders whose trigger_t carries
         # trailing padding still parse (a longer datagram must not raise)
         n = struct.calcsize(cls._FMT)
+        nl = struct.calcsize(cls._FMT_LEGACY)
         if len(buf) < n:
-            # the reference coincidencer's short 'dd128s' datagram
-            nl = struct.calcsize(cls._FMT_LEGACY)
-            t0, t1, meta = struct.unpack(cls._FMT_LEGACY, buf[:nl])
+            # only an EXACT-size short datagram is the reference
+            # coincidencer's 'dd128s' layout; anything in (nl, n) is a
+            # truncated canonical datagram and must raise, not misparse
+            if len(buf) != nl:
+                raise struct.error(
+                    f"trigger datagram of {len(buf)} bytes is neither "
+                    f"trigger_t ({n}) nor the legacy layout ({nl})")
+            t0, t1, meta = struct.unpack(cls._FMT_LEGACY, buf)
             return cls(t0, t1, 0.0, 0.0, 0.0, 0.0,
                        meta.split(b"\0", 1)[0].decode(errors="replace"))
         t0, t1, sn, dm, w, pt, meta = struct.unpack(cls._FMT, buf[:n])
