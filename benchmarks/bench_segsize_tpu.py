@@ -27,8 +27,9 @@ rng = np.random.default_rng(0)
 raw = jax.device_put(np.clip(rng.standard_normal(
     (2, 128_000_000)) / 0.05914 + 128.5, 0, 255).astype(np.uint8), dev)
 arm = jnp.bool_(False)
+EMA = os.environ.get("VFAST_EMA_IMPL", "assoc")
 for sps in (int(a) for a in (sys.argv[1:] or ["20", "10", "5"])):
-    cfg = PipelineConfig(seg_per_sec=sps)
+    cfg = PipelineConfig(seg_per_sec=sps, ema_impl=EMA)
     st = jax.device_put(dsp.init_state(cfg), dev)
     t0 = time.perf_counter()
     out, st = dsp.process_second(cfg, raw, st, arm)

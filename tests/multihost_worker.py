@@ -32,8 +32,13 @@ def arraystep_config():
     from vlite_fast_tpu.config import ArrayConfig, PipelineConfig
 
     acfg = ArrayConfig.tiny(nant=4, mesh_ant=2, mesh_time=2)
+    # ema_impl='assoc': the cross-process bit-exactness contract needs
+    # the batch/partition-invariant EMA (the default 'matmul' lowers its
+    # dot differently across device layouts — bounded in
+    # tests/test_chain.py::test_ema_matmul_near_exact)
     return dataclasses.replace(
-        acfg, pipeline=PipelineConfig.tiny(sample_rate=100_000))
+        acfg, pipeline=PipelineConfig.tiny(sample_rate=100_000,
+                                           ema_impl="assoc"))
 
 
 def arraystep_summary(acfg, mesh, seed=7):

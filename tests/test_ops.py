@@ -214,6 +214,40 @@ class TestNormalize:
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                    rtol=2e-3)
 
+    def test_matmul_matches_scan(self):
+        """The matmul affine scan (ops/normalize._affine_scan_matmul, the
+        chain default — replaces associative_scan's pad/slice tree with
+        two lower-triangular matmuls) agrees with the sequential scan to
+        f32 rounding, including the bp==0 seed path."""
+        rng = np.random.default_rng(2)
+        p = rng.chisquare(2, (2, 64, 16)).astype(np.float32)
+        bp0 = np.zeros((2, 16), np.float32)
+        o1, b1 = normalize.normalize_ema(jnp.asarray(p), jnp.asarray(bp0),
+                                         0.02)
+        o2, b2 = normalize.normalize_ema_matmul(jnp.asarray(p),
+                                                jnp.asarray(bp0), 0.02)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=5e-4)
+
+    def test_matmul_weighted_matches_scan(self):
+        rng = np.random.default_rng(3)
+        p = rng.chisquare(2, (2, 64, 16)).astype(np.float32)
+        p[0, 20] *= 100.0                # clip event
+        w = np.ones((2, 64), np.float32)
+        w[:, 10] = 0.0                   # dead spectrum
+        w[1, 30:35] = 0.5
+        bp0 = np.zeros((2, 16), np.float32)
+        o1, b1 = normalize.normalize_ema_weighted(
+            jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.02)
+        o2, b2 = normalize.normalize_ema_weighted_matmul(
+            jnp.asarray(p), jnp.asarray(w), jnp.asarray(bp0), 0.02)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=2e-3)
+
     def test_pallas_ema_matches_scan(self):
         from vlite_fast_tpu.ops import pallas_kernels as pk
         rng = np.random.default_rng(4)

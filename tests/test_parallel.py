@@ -152,7 +152,14 @@ class TestShardedCandidatePlane:
         na, nt = self.NA, self.NT
         nant = na * nt                      # one antenna per device
         mesh = make_mesh(n_ant=na, n_time=nt)
-        cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5)
+        # ema_impl='assoc': the class's byte-exact contract is about the
+        # sharded DATAFLOW (EMA carry, halos, reshard); assoc is the
+        # batch-invariant EMA that makes bit-exactness well-defined.
+        # The production default 'matmul' lowers its dot differently
+        # under vmap (<=1e-4 single-level quantizer flips — bounded in
+        # tests/test_chain.py::test_ema_matmul_near_exact).
+        cfg = PipelineConfig.tiny(freq_top_mhz=320.5, bandwidth_mhz=0.5,
+                                  ema_impl="assoc")
         scfg = SearchConfig(dm_min=0.0, dm_max=600.0, ndm=64,
                             gulp_samps=512, boxcar_max=16, zap_ranges=(),
                             snr_thresh=6.0, engine="subband",

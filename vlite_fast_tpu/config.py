@@ -45,17 +45,31 @@ class PipelineConfig:
     inject_width_s: float = C.INJECT_WIDTH_S
     inject_amp: float = C.INJECT_AMP
     # thresholds (ref src/process_baseband.h:35-46)
-    ema_impl: str = "assoc"        # 'assoc' (log-depth scan) | 'scan'
+    ema_impl: str = "matmul"       # 'matmul' (affine scan as two small
+                                   # lower-triangular matmuls — see
+                                   # normalize._affine_scan_matmul) |
+                                   # 'assoc' (log-depth scan) | 'scan'
                                    # (sequential lax.scan) | 'pallas'
                                    # (one-pass VMEM kernel, run once per
                                    # second OUTSIDE the segment scan).
-                                   # MEASURED on-chip: assoc 4.79x RT vs
-                                   # pallas 3.30x — hoisting the EMA out
-                                   # of the scan breaks XLA's detect->
-                                   # EMA->scrunch fusion and costs ~2 GB
-                                   # of extra HBM round trips per second,
-                                   # outweighing the one-pass saving.
-                                   # assoc stays default by measurement.
+                                   # MEASURED on-chip: matmul 50.7 vs
+                                   # assoc 67.6 ms/data-second dual-
+                                   # stream, 19.7x vs 14.8x RT (the
+                                   # associative_scan tree lowers to
+                                   # ~240 tiny pad/slice ops per
+                                   # segment; the layout-preserving
+                                   # einsum form fuses into detect->
+                                   # normalize->scrunch with no
+                                   # transpose copies),
+                                   # benchmarks/bench_ema_matmul_tpu.py.
+                                   # Earlier: assoc 4.79x RT vs pallas
+                                   # 3.30x — hoisting the EMA out of the
+                                   # scan breaks XLA's fusion and costs
+                                   # ~2 GB of extra HBM round trips per
+                                   # second, outweighing the one-pass
+                                   # saving.  All variants agree with
+                                   # the sequential reference to f32
+                                   # rounding (tests/test_ops.py).
     channelizer: str = "matmul"    # 'matmul' (MXU Cooley-Tukey) | 'fft'
                                    # | 'pfb' (streaming WOLA polyphase;
                                    # sharper channel response; works with
@@ -89,6 +103,20 @@ class PipelineConfig:
                                    # in isolated bins and is rejected;
                                    # benchmarks/bench_dft_precision_tpu
                                    # .py + bench_chain_precision_tpu.py
+    dft_exact_input: bool = False  # exploit that 8-bit voltages are
+                                   # EXACTLY bf16-representable: at
+                                   # dft_precision='high', DFT stage 1
+                                   # runs as 2 separate MXU passes vs
+                                   # bf16x3's 3 fused, identical error
+                                   # (the x_lo term is identically 0).
+                                   # Default OFF BY MEASUREMENT: 67.4 vs
+                                   # 65.0 ms/data-second in-chain — the
+                                   # un-fused partial-product add costs
+                                   # more than the saved pass (MXU is at
+                                   # ~5% util; HBM passes are the chain
+                                   # cost, same verdict as the fused-RFI
+                                   # and one-pass-EMA attempts).
+                                   # benchmarks/bench_dft_exactbf16_tpu
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
                                    # zero-weights whole FFT blocks; the

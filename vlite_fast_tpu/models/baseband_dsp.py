@@ -148,8 +148,11 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
             weights = ch_ops.pfb_weights(w_ext, cfg.pfb_ntap, cfg.nfft)
     else:
         def spectra(v, stream=0):
+            # voltages are exact k/128 values (masking only zeroes):
+            # stage 1 of the 'high' DFT runs in 2 bf16 passes
             return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer,
-                                     precision=cfg.dft_precision)
+                                     precision=cfg.dft_precision,
+                                     exact_bf16_input=cfg.dft_exact_input)
 
     def maybe_inject(spec):
         if not cfg.inject_frb:
@@ -165,6 +168,9 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         from vlite_fast_tpu.ops import pallas_kernels as pk
         ema = pk.normalize_ema_pallas
         ema_w = pk.normalize_ema_weighted_pallas
+    elif cfg.ema_impl == "matmul":
+        ema = norm_ops.normalize_ema_matmul
+        ema_w = norm_ops.normalize_ema_weighted_matmul
     elif cfg.ema_impl == "assoc":
         ema = norm_ops.normalize_ema_assoc
         ema_w = norm_ops.normalize_ema_weighted_assoc
@@ -206,7 +212,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         # alternative; see cfg.batch_streams for the measurement history)
         spec2 = ch_ops.channelize(jnp.concatenate([x, x_kur], axis=0),
                                   cfg.nfft, method=cfg.channelizer,
-                                  precision=cfg.dft_precision)
+                                  precision=cfg.dft_precision,
+                                  exact_bf16_input=cfg.dft_exact_input)
         packed, bp = finish_plain(maybe_inject(spec2[:cfg.npol_in]), bp)
         packed_kur, bp_kur = finish_kur(
             maybe_inject(spec2[cfg.npol_in:]), bp_kur)
@@ -259,7 +266,8 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
             def spectra(v, stream=0):
                 return ch_ops.channelize(v, cfg.nfft,
                                          method=cfg.channelizer,
-                                         precision=cfg.dft_precision)
+                                         precision=cfg.dft_precision,
+                                         exact_bf16_input=cfg.dft_exact_input)
 
         def maybe_inject(spec):
             if not cfg.inject_frb:

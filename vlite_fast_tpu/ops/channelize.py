@@ -23,7 +23,8 @@ import numpy as np
 
 
 def channelize(x: jax.Array, nfft: int, method: str = "fft",
-               precision: str = "highest") -> jax.Array:
+               precision: str = "highest",
+               exact_bf16_input: bool = False) -> jax.Array:
     """(npol, nsamp) real voltages -> (npol, nspec, nchan) complex spectra.
 
     nchan = nfft//2 + 1; spectrum s covers samples [s*nfft, (s+1)*nfft).
@@ -39,7 +40,8 @@ def channelize(x: jax.Array, nfft: int, method: str = "fft",
     if method == "matmul":
         # planes formulation: measured 60.7 vs 63.7 ms per data-second
         # in-chain (benchmarks/bench_dft_planes_tpu.py)
-        return matmul_rfft_planes(frames, nfft, precision=precision)
+        return matmul_rfft_planes(frames, nfft, precision=precision,
+                                  exact_bf16_input=exact_bf16_input)
     return jnp.fft.rfft(frames, axis=-1)
 
 
@@ -114,7 +116,8 @@ def _ct_tables_planes(nfft: int) -> tuple:
 
 
 def matmul_rfft_planes(frames: jax.Array, nfft: int,
-                       precision: str = "highest") -> jax.Array:
+                       precision: str = "highest",
+                       exact_bf16_input: bool = False) -> jax.Array:
     """matmul_rfft computed on explicit float32 real/imag PLANES.
 
     jnp.einsum(real, complex) promotes the voltages to complex64, so the
@@ -124,6 +127,15 @@ def matmul_rfft_planes(frames: jax.Array, nfft: int,
     transform in 6 real matmuls total (2 first-stage + 4 second-stage)
     with every array in float32's native TPU tiling; only the final
     result is assembled into complex64.
+
+    exact_bf16_input: promise that `frames` values are EXACTLY
+    bf16-representable (true for 8-bit quantized voltages k/128 — an
+    8-bit significand holds any k*2^-7, |k| <= 255 — and they stay exact
+    through kurtosis masking, which only zeroes).  Then bf16x3's
+    x_lo*w_hi term is identically zero and stage 1 at precision='high'
+    runs as TWO bf16 passes against a hi/lo split of the DFT matrix —
+    same accuracy, 2/3 the stage-1 MXU work.  Stage 2's inputs are full
+    f32 sums, so it keeps the standard 3-pass emulation.
     """
     n1, n2 = _ct_split(nfft)
     w1r, w1i, twr, twi, w2r, w2i = map(jnp.asarray, _ct_tables_planes(nfft))
@@ -131,8 +143,23 @@ def matmul_rfft_planes(frames: jax.Array, nfft: int,
     nchan = nfft // 2 + 1
     n2_out = nfft // 2 // n1 + 1
     x = frames.reshape(-1, n1, n2).astype(jnp.float32)
-    ar = jnp.einsum("bnm,nk->bkm", x, w1r, precision=precision)
-    ai = jnp.einsum("bnm,nk->bkm", x, w1i, precision=precision)
+    if exact_bf16_input and precision == "high":
+        # arrays stay f32 (CPU backends cannot execute bf16 dots); the
+        # hi/lo planes hold bf16-REPRESENTABLE values, so on TPU each
+        # DEFAULT-precision einsum is one exact-operand bf16 MXU pass
+        def _stage1(w):
+            w_hi = w.astype(jnp.bfloat16).astype(jnp.float32)
+            w_lo = w - w_hi
+            return (jnp.einsum("bnm,nk->bkm", x, w_hi,
+                               precision=jax.lax.Precision.DEFAULT)
+                    + jnp.einsum("bnm,nk->bkm", x, w_lo,
+                                 precision=jax.lax.Precision.DEFAULT))
+
+        ar = _stage1(w1r)
+        ai = _stage1(w1i)
+    else:
+        ar = jnp.einsum("bnm,nk->bkm", x, w1r, precision=precision)
+        ai = jnp.einsum("bnm,nk->bkm", x, w1i, precision=precision)
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
     pr = (jnp.einsum("bkm,mj->bjk", br, w2r, precision=precision)

@@ -128,6 +128,104 @@ def _affine_scan(a: jax.Array, b: jax.Array, bp0: jax.Array) -> jax.Array:
     return aa * bp0[None] + bb
 
 
+def _affine_scan_matmul(a: jax.Array, b: jax.Array,
+                        bp0: jax.Array) -> jax.Array:
+    """All states of bp_t = a_t*bp_{t-1} + b_t as TWO small matmuls
+    (arrays are (npol, T, nchan); recurrence runs along the middle axis;
+    a_t > 0).
+
+    Closed form of the recurrence: with P_t = prod_{j<=t} a_j,
+    bp_t = P_t * (bp0 + sum_{j<=t} b_j / P_j).  Both prefix reductions
+    are one (T, T) lower-triangular matmul each (cumprod via
+    exp(L @ log a)) — on TPU this replaces lax.associative_scan's
+    log-depth tree of pad/slice ops (which profiled as >half the whole
+    DSP chain's device time: ~240 tiny data-movement ops per segment)
+    with MXU work that XLA fuses cleanly.  Conditioning: the chain's
+    a_t is 1 or (1-bp_scale) with bp_scale ~ 7.8e-4 over T <= 32 steps,
+    so P_t is in [0.975, 1] and the division is benign.
+
+    Layout: arrays stay (npol, T, nchan) end to end — the prefix
+    reductions contract the MIDDLE axis via einsum('tj,pjc->ptc'), so no
+    transpose/copy of the 1.6 MB power blocks is ever materialized (a
+    first swapaxes-based version showed up in the profile as 6 extra
+    (T, npol, nchan) copies per segment).
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)   # (npol, T, nchan)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    T = shape[1]
+    L = jnp.tril(jnp.ones((T, T), jnp.float32))
+    hp = jax.lax.Precision.HIGHEST
+    P = jnp.exp(jnp.einsum("tj,pjc->ptc", L, jnp.log(a), precision=hp))
+    S = jnp.einsum("tj,pjc->ptc", L, b / P, precision=hp)
+    return P * (bp0[:, None, :] + S)
+
+
+@partial(jax.jit, static_argnames=())
+def normalize_ema_matmul(power: jax.Array, bp: jax.Array,
+                         scale: float) -> tuple[jax.Array, jax.Array]:
+    """normalize_ema computed via the matmul affine scan (identical math
+    to normalize_ema_assoc up to f32 rounding; see _affine_scan_matmul
+    for why this is the TPU-shaped form)."""
+    seed = jnp.mean(power, axis=1)
+    seed = jnp.where(seed == 0.0, 1.0, seed)
+    bp0 = jnp.where(bp == 0.0, seed, bp)
+    T = power.shape[1]
+    # constant a = (1-scale): P_t = (1-scale)^(t+1) is a trace-time
+    # constant, so only the prefix SUM needs a matmul; layout stays
+    # (npol, T, nchan) throughout (see _affine_scan_matmul)
+    hp = jax.lax.Precision.HIGHEST
+    L = jnp.tril(jnp.ones((T, T), jnp.float32))
+    P = jnp.power(jnp.float32(1.0 - scale),
+                  jnp.arange(1, T + 1, dtype=jnp.float32))[None, :, None]
+    S = jnp.einsum("tj,pjc->ptc", L, (scale * power) / P, precision=hp)
+    bp_t = P * (bp0[:, None, :] + S)
+    out = power / bp_t - 1.0
+    return out, bp_t[:, -1]
+
+
+@partial(jax.jit, static_argnames=("refine",))
+def normalize_ema_weighted_matmul(power: jax.Array, weights: jax.Array,
+                                  bp: jax.Array, scale: float,
+                                  clip_ratio: float = C.BP_CLIP_RATIO,
+                                  clip_value: float = C.BP_CLIP_VALUE,
+                                  refine: int = 0
+                                  ) -> tuple[jax.Array, jax.Array]:
+    """normalize_ema_weighted_assoc with the matmul affine-scan solver
+    (same fixed-point treatment of the clip nonlinearity)."""
+    w3 = weights[:, :, None]
+    good = w3 > 0.0
+    pw = jnp.where(good, power / jnp.where(good, w3, 1.0), 0.0)
+    ngood = jnp.sum(good, axis=1)
+    seed = jnp.where(ngood > 0,
+                     jnp.sum(pw, axis=1) / jnp.maximum(ngood, 1), 1.0)
+    bp0 = jnp.where(bp == 0.0, seed, bp)
+    # stale-bandpass recovery — see normalize_ema_weighted
+    stale = (ngood > 0) & ((seed > 5.0 * bp0) | (seed < 0.2 * bp0))
+    bp0 = jnp.where(stale, seed, bp0)
+
+    # layout stays (npol, T, nchan) throughout (see _affine_scan_matmul)
+    def solve(update_mask):
+        a = jnp.where(update_mask, 1.0 - scale, 1.0)
+        b = jnp.where(update_mask, scale * pw, 0.0)
+        return _affine_scan_matmul(a, b, bp0)
+
+    def decide(bp_t):
+        bp_prev = jnp.concatenate([bp0[:, None, :], bp_t[:, :-1]], axis=1)
+        return good & (pw <= clip_ratio * bp_prev)
+
+    bp_t = solve(good)              # pass ignoring clips
+    update = decide(bp_t)
+    bp_t = solve(update)
+    for _ in range(refine):
+        update = decide(bp_t)
+        bp_t = solve(update)
+    clipped = good & (~update)
+    out = jnp.where(good,
+                    jnp.where(clipped, clip_value, pw / bp_t - 1.0), 0.0)
+    return out, bp_t[:, -1]
+
+
 @partial(jax.jit, static_argnames=())
 def normalize_ema_assoc(power: jax.Array, bp: jax.Array,
                         scale: float) -> tuple[jax.Array, jax.Array]:
