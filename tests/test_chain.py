@@ -74,6 +74,24 @@ def test_batch_streams_parity():
                                   np.asarray(out_b.packed_kur))
 
 
+def test_front_layout_parity():
+    """The frame-layout fronts (measured-negative perf knobs, kept for
+    hardware re-tests — see config.front_layout) produce byte-identical
+    packed output to the default flat front: they differ only in where
+    the layout reshape happens (uint8 vs f32) and in window-sum order,
+    which the masked voltages prove equal end to end."""
+    raw = synthesis.white_noise_uint8(CFG.sample_rate, seed=3)
+    ol, _ = run_second(PipelineConfig.tiny(front_layout="flat"), raw)
+    for layout in ("frames", "mixed"):
+        of, _ = run_second(PipelineConfig.tiny(front_layout=layout), raw)
+        np.testing.assert_array_equal(np.asarray(of.packed),
+                                      np.asarray(ol.packed))
+        np.testing.assert_array_equal(np.asarray(of.packed_kur),
+                                      np.asarray(ol.packed_kur))
+        np.testing.assert_array_equal(np.asarray(of.weights),
+                                      np.asarray(ol.weights))
+
+
 def test_ema_matmul_near_exact():
     """The production default ema_impl='matmul' (65.4 vs 68.7 ms/data-
     second on-chip vs 'assoc') trades strict cross-context bit-exactness

@@ -214,6 +214,52 @@ class TestNormalize:
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                    rtol=2e-3)
 
+    def test_framed_rfi_matches_flat(self):
+        """rfi_excise_framed (the frame-layout front that avoids the f32
+        tile relayouts — see its docstring) must agree with rfi_excise:
+        identical weights and masked voltages, stats to f32 rounding."""
+        from vlite_fast_tpu.ops import channelize as ch
+        from vlite_fast_tpu.ops.unpack import convert_uint8
+
+        npol, nspec, nfft, nkurto = 2, 4, 500, 50
+        rng = np.random.default_rng(5)
+        raw = np.clip(rng.standard_normal((npol, nspec * nfft)) / 0.059
+                      + 128.5, 0, 255).astype(np.uint8)
+        # an RFI burst that must flag
+        raw[0, 300:350] = np.clip(
+            128.5 + 60 * np.sign(rng.standard_normal(50)), 0,
+            255).astype(np.uint8)
+        x = convert_uint8(jnp.asarray(raw))
+        res = kurtosis.rfi_excise(x, nkurto, nfft)
+        n1, n2 = ch._ct_split(nfft)
+        xb = jnp.asarray(raw.reshape(npol * nspec, n1, n2))
+        fr = kurtosis.rfi_excise_framed(xb, npol, nkurto, nfft)
+        np.testing.assert_allclose(np.asarray(fr.pow_w),
+                                   np.asarray(res.pow_w), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fr.kur_w),
+                                   np.asarray(res.kur_w), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fr.weights),
+                                      np.asarray(res.weights))
+        assert np.asarray(fr.weights).min() < 1.0  # the burst flagged
+        masked = np.asarray(
+            jnp.where(fr.row_keep[:, :, None], fr.xf, 0.0)
+        ).reshape(npol, nspec * nfft)
+        np.testing.assert_array_equal(masked, np.asarray(res.masked))
+
+    def test_framed_dft_matches_planes(self):
+        from vlite_fast_tpu.ops import channelize as ch
+        nfft = 500
+        n1, n2 = ch._ct_split(nfft)
+        rng = np.random.default_rng(6)
+        x = (rng.integers(-128, 128, (2, 3, nfft)) / 128.0
+             ).astype(np.float32)
+        a = ch.matmul_rfft_planes(jnp.asarray(x), nfft,
+                                  precision="highest")
+        b = ch.matmul_rfft_framed(
+            jnp.asarray(x.reshape(6, n1, n2)), nfft,
+            precision="highest").reshape(2, 3, -1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_matmul_matches_scan(self):
         """The matmul affine scan (ops/normalize._affine_scan_matmul, the
         chain default — replaces associative_scan's pad/slice tree with

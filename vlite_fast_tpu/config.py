@@ -103,6 +103,26 @@ class PipelineConfig:
                                    # in isolated bins and is rejected;
                                    # benchmarks/bench_dft_precision_tpu
                                    # .py + bench_chain_precision_tpu.py
+    front_layout: str = "flat"     # 'flat' (default BY MEASUREMENT:
+                                   # 52.4 vs 54.9 'mixed' vs 70.8
+                                   # 'frames' ms/data-second on-chip) |
+                                   # 'frames': reshape the uint8 bytes
+                                   # ONCE into the DFT's (b, n1, n2)
+                                   # Cooley-Tukey layout and run
+                                   # convert/kurtosis/mask there
+                                   # (kurtosis.rfi_excise_framed) |
+                                   # 'mixed': stats flat, mask framed.
+                                   # The hypothesis was that the flat
+                                   # front's two f32 tile relayouts per
+                                   # segment (~11 ms serialized in the
+                                   # profile) were the next cost — but
+                                   # XLA overlaps them with MXU work,
+                                   # while the frame layout taxes every
+                                   # elementwise op with padded (100,
+                                   # 125)->(8x13, 128) tiles.  All three
+                                   # produce byte-identical output
+                                   # (tested).  benchmarks/
+                                   # bench_front_layout_tpu.py
     dft_exact_input: bool = False  # exploit that 8-bit voltages are
                                    # EXACTLY bf16-representable: at
                                    # dft_precision='high', DFT stage 1
@@ -204,6 +224,9 @@ class PipelineConfig:
             raise ValueError("nbit must be 2, 4 or 8")
         if self.rfi_impl not in ("xla", "pallas"):
             raise ValueError("rfi_impl must be 'xla' or 'pallas'")
+        if self.front_layout not in ("frames", "mixed", "flat"):
+            raise ValueError(
+                "front_layout must be 'frames', 'mixed' or 'flat'")
         if self.batch_streams and (self.ema_impl == "pallas"
                                    or self.channelizer == "pfb"):
             # only the default per-segment scan path implements the

@@ -116,17 +116,79 @@ def _rfi_stage(cfg: PipelineConfig, raw: jax.Array, x: jax.Array):
     return res.masked, res.weights, dag_frac
 
 
+def use_framed_front(cfg: PipelineConfig) -> bool:
+    """True when the segment front-end can run entirely in the DFT's
+    (b, n1, n2) frame layout (ops/kurtosis.rfi_excise_framed): the uint8
+    bytes are reshaped ONCE and no float voltage array ever changes tile
+    layout — the flat path's two 1.6 MB f32 relayouts per segment
+    (window reshape + CT reshape) profiled at ~11 of 50 ms/data-second."""
+    if (cfg.front_layout not in ("frames", "mixed")
+            or cfg.channelizer != "matmul"):
+        return False
+    if cfg.rfi_mode > 0 and cfg.rfi_impl != "xla":
+        return False
+    if cfg.batch_streams:
+        return False
+    n1, n2 = ch_ops._ct_split(cfg.nfft)
+    # a fine window must be a whole number of n1-rows (then windows per
+    # block * rows per window == n1 automatically, since nfft = n1*n2)
+    return cfg.nkurto % n2 == 0 and cfg.nfft % cfg.nkurto == 0
+
+
 def process_segment(cfg: PipelineConfig, raw: jax.Array,
                     state: DSPState) -> tuple[SegmentOutput, DSPState]:
     """One 1/seg_per_sec-second chunk through the full chain.
 
     raw: (npol_in, seg_samps) uint8. Pure function of (raw, state).
     """
-    x = unpack_ops.convert_uint8(raw)
-    x_kur, weights, dag_frac = _rfi_stage(cfg, raw, x)
+    framed = use_framed_front(cfg)
+    if framed:
+        n1, n2 = ch_ops._ct_split(cfg.nfft)
+        xb = raw.reshape(cfg.npol_in * cfg.ffts_per_seg, n1, n2)
+        weights = jnp.ones((cfg.npol_in, cfg.ffts_per_seg), jnp.float32)
+        dag_frac = jnp.float32(0.0)
+        if cfg.rfi_mode > 0:
+            if cfg.front_layout == "frames":
+                fr = kur_ops.rfi_excise_framed(
+                    xb, cfg.npol_in, cfg.nkurto, cfg.nfft,
+                    dag_thresh=cfg.dag_thresh,
+                    dag_fb_thresh=cfg.dag_fb_thresh)
+                weights, dag, row_keep = fr.weights, fr.dag, fr.row_keep
+                x = fr.xf
+            else:
+                # 'mixed': kurtosis stats on the flat lane-aligned
+                # layout, only convert+mask in frame layout (the select
+                # fuses into the DFT operand; the flat masked voltages
+                # are never materialized)
+                res = kur_ops.rfi_excise(
+                    unpack_ops.convert_uint8(raw), cfg.nkurto, cfg.nfft,
+                    dag_thresh=cfg.dag_thresh,
+                    dag_fb_thresh=cfg.dag_fb_thresh)
+                weights, dag = res.weights, res.dag
+                row_keep = kur_ops.row_keep_from_dag(
+                    dag, res.dag_fb, cfg.npol_in, cfg.nkurto, cfg.nfft,
+                    n2, dag_thresh=cfg.dag_thresh,
+                    dag_fb_thresh=cfg.dag_fb_thresh)
+                x = unpack_ops.convert_uint8(xb)
+            dag_frac = jnp.mean((dag >= cfg.dag_thresh)
+                                .astype(jnp.float32))
+            # the mask select fuses into the DFT's stage-1 operand read
+            x_kur = jnp.where(row_keep[:, :, None], x, 0.0)
+        else:
+            x = unpack_ops.convert_uint8(xb)
+            x_kur = x
+    else:
+        x = unpack_ops.convert_uint8(raw)
+        x_kur, weights, dag_frac = _rfi_stage(cfg, raw, x)
 
     new_tail, new_wtail = state.tail, state.wtail
-    if cfg.channelizer == "pfb":
+    if framed:
+        def spectra(v, stream=0):
+            out = ch_ops.matmul_rfft_framed(
+                v, cfg.nfft, precision=cfg.dft_precision,
+                exact_bf16_input=cfg.dft_exact_input)
+            return out.reshape(cfg.npol_in, cfg.ffts_per_seg, -1)
+    elif cfg.channelizer == "pfb":
         # streaming WOLA: prepend the carried (ntap-1)*nfft voltages so
         # this segment yields exactly ffts_per_seg spectra, then carry the
         # segment's own tail forward (genbase's overlap pattern applied to

@@ -138,11 +138,27 @@ def matmul_rfft_planes(frames: jax.Array, nfft: int,
     f32 sums, so it keeps the standard 3-pass emulation.
     """
     n1, n2 = _ct_split(nfft)
-    w1r, w1i, twr, twi, w2r, w2i = map(jnp.asarray, _ct_tables_planes(nfft))
     batch = frames.shape[:-1]
+    x = frames.reshape(-1, n1, n2).astype(jnp.float32)
+    out = matmul_rfft_framed(x, nfft, precision=precision,
+                             exact_bf16_input=exact_bf16_input)
+    return out.reshape(*batch, out.shape[-1])
+
+
+def matmul_rfft_framed(x: jax.Array, nfft: int,
+                       precision: str = "highest",
+                       exact_bf16_input: bool = False) -> jax.Array:
+    """The matmul_rfft_planes core on voltages ALREADY in the
+    Cooley-Tukey frame layout: x (b, n1, n2) float32 -> (b, nchan)
+    complex64.  Callers that keep the chain in frame layout end-to-end
+    (models/baseband_dsp framed front, ops/kurtosis.rfi_excise_framed)
+    enter here directly, so the (…, nfft) -> (…, n1, n2) reshape — a
+    physical tile relayout of every 1.6 MB voltage block — never
+    happens on f32 data."""
+    n1, n2 = _ct_split(nfft)
+    w1r, w1i, twr, twi, w2r, w2i = map(jnp.asarray, _ct_tables_planes(nfft))
     nchan = nfft // 2 + 1
     n2_out = nfft // 2 // n1 + 1
-    x = frames.reshape(-1, n1, n2).astype(jnp.float32)
     if exact_bf16_input and precision == "high":
         # arrays stay f32 (CPU backends cannot execute bf16 dots); the
         # hi/lo planes hold bf16-REPRESENTABLE values, so on TPU each
@@ -168,7 +184,7 @@ def matmul_rfft_planes(frames: jax.Array, nfft: int,
           + jnp.einsum("bkm,mj->bjk", bi, w2r, precision=precision))
     lin_r = pr.reshape(-1, n2_out * n1)[:, :nchan]
     lin_i = pi.reshape(-1, n2_out * n1)[:, :nchan]
-    return jax.lax.complex(lin_r, lin_i).reshape(*batch, nchan)
+    return jax.lax.complex(lin_r, lin_i)
 
 
 @lru_cache(maxsize=8)

@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vlite_fast_tpu import constants as C
 
@@ -169,6 +170,102 @@ def sample_histogram(u: jax.Array, nbins: int = 256) -> jax.Array:
     bins = jnp.arange(nbins, dtype=jnp.int32)
     return jnp.sum((ui[:, :, None] == bins[None, None, :])
                    .astype(jnp.int32), axis=1)
+
+
+class FramedKurtosisResult(NamedTuple):
+    """rfi_excise_framed output: everything stays in the DFT's frame
+    layout so no f32 relayout is ever materialized."""
+
+    xf: jax.Array        # (b, n1, n2) float32 converted voltages
+    row_keep: jax.Array  # (b, n1) bool; False rows are excised
+    weights: jax.Array   # (npol, nblk) surviving fraction per FFT block
+    dag: jax.Array       # (nwin,) pol-combined fine-window TS
+    dag_fb: jax.Array    # (nblk,) pol-combined block TS
+    pow_w: jax.Array     # (npol, nwin) fine-window power
+    kur_w: jax.Array     # (npol, nwin) fine-window kurtosis
+
+
+@partial(jax.jit, static_argnames=("npol", "nkurto", "nfft",
+                                   "dag_fb_thresh"))
+def rfi_excise_framed(xb: jax.Array, npol: int, nkurto: int, nfft: int,
+                      dag_thresh: float = C.DAG_THRESH,
+                      dag_fb_thresh: float = 0.0) -> FramedKurtosisResult:
+    """rfi_excise computed IN the Cooley-Tukey frame layout.
+
+    xb: (b, n1, n2) uint8 with b = npol * nspec, frame sample index
+    = i1 * n2 + i2 (exactly the reshape ops/channelize.matmul_rfft_*
+    performs) and nkurto % n2 == 0, nfft % nkurto == 0.
+
+    Why: the flat rfi_excise forces the (npol, nsamp) float voltages
+    through TWO physical tile relayouts per segment — (npol, nwin,
+    nkurto) for the window reductions and (b, n1, n2) for the DFT —
+    which profiled at ~11 of the chain's 50 ms/data-second (the 1.6 MB
+    blocks change tile shape, a full HBM round trip each).  Reshaping
+    the uint8 BYTES once instead, a fine window is exactly
+    nkurto/n2 consecutive n1-rows: the window moments come from lane
+    sums fused into the x^2/x^4 pass plus one tiny (n1, wpf) pooling
+    matmul, and the excision mask is a per-row boolean the caller's
+    jnp.where fuses straight into the DFT's stage-1 operand read.
+    Identical math to rfi_excise up to f32 summation order (parity
+    asserted in tests/test_ops.py).
+
+    Returns converted voltages, row mask, and the same stats tuple as
+    rfi_excise (see FramedKurtosisResult).
+    """
+    from vlite_fast_tpu.ops.unpack import convert_uint8
+
+    b, n1, n2 = xb.shape
+    nspec = b // npol
+    rpw = nkurto // n2                 # frame rows per fine window
+    wpf = nfft // nkurto               # fine windows per FFT block
+    nwin = nspec * wpf
+    xf = convert_uint8(xb)
+    x2 = xf * xf
+    # both row moments come out of ONE fused pass over the voltages
+    s2 = jnp.sum(x2, axis=2)           # (b, n1)
+    s4 = jnp.sum(x2 * x2, axis=2)      # (b, n1)
+    pool = jnp.asarray(np.kron(np.eye(wpf, dtype=np.float32),
+                               np.ones((rpw, 1), np.float32)))  # (n1, wpf)
+    hp = jax.lax.Precision.HIGHEST
+    m2 = jnp.dot(s2, pool, precision=hp) * (1.0 / nkurto)   # (b, wpf)
+    m4 = jnp.dot(s4, pool, precision=hp) * (1.0 / nkurto)
+    m2 = m2.reshape(npol, nwin)
+    m4 = m4.reshape(npol, nwin)
+    kur = m4 / jnp.where(m2 == 0, 1.0, m2 * m2)
+    kur = jnp.where(m2 == 0, 0.0, kur)
+    dag = dagostino_ts(kur, nkurto)
+    pow_b, kur_b = block_stats(m2, kur, dag, wpf, dag_thresh)
+    dag_fb = dagostino_ts(kur_b, nfft)
+    good = dag < dag_thresh                                  # (nwin,)
+    if dag_fb_thresh > 0:
+        good = jnp.logical_and(good,
+                               jnp.repeat(dag_fb < dag_fb_thresh, wpf))
+    good2 = jnp.broadcast_to(good, (npol, nwin))
+    weights = jnp.mean(
+        good2.astype(xf.dtype).reshape(npol, nspec, wpf), axis=-1)
+    row_keep = jnp.repeat(good2.reshape(b, wpf), rpw, axis=1)  # (b, n1)
+    return FramedKurtosisResult(xf, row_keep, weights, dag, dag_fb,
+                                m2, kur)
+
+
+def row_keep_from_dag(dag: jax.Array, dag_fb: jax.Array, npol: int,
+                      nkurto: int, nfft: int, n2: int,
+                      dag_thresh: float = C.DAG_THRESH,
+                      dag_fb_thresh: float = 0.0) -> jax.Array:
+    """The apply_mask window gate as a per-FRAME-ROW boolean (b, n1)
+    for the frame-layout select (the 'mixed' front: stats computed
+    flat, mask applied in the DFT's (b, n1, n2) layout).  Same gate
+    semantics as apply_mask/rfi_excise_framed."""
+    nwin = dag.shape[0]
+    wpf = nfft // nkurto
+    rpw = nkurto // n2
+    good = dag < dag_thresh
+    if dag_fb_thresh > 0:
+        good = jnp.logical_and(good,
+                               jnp.repeat(dag_fb < dag_fb_thresh, wpf))
+    good2 = jnp.broadcast_to(good, (npol, nwin))
+    return jnp.repeat(good2.reshape(npol * (nwin // wpf), wpf),
+                      rpw, axis=1)
 
 
 @partial(jax.jit, static_argnames=("nkurto", "nfft", "fake",
