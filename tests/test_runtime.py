@@ -362,3 +362,53 @@ class TestAssemblerDuplicates:
         assert [s for s, _ in done] == [55]
         np.testing.assert_array_equal(done[0][1], samples[:, :rate])
         assert asm.stats.anomalous == 1
+
+
+def test_inject_host_gating_byte_exact():
+    """feed_second dispatches the injection-free chain outside the ~2 s
+    post-arm window (perf: the track multiply costs two extra passes over
+    the spectra plane per segment).  The routed output must be BYTE-exact
+    vs running the injection program unconditionally with the same arm
+    schedule (outside the window it multiplies by all-ones)."""
+    import jax.numpy as jnp
+    from vlite_fast_tpu import constants as C
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.models import baseband_dsp as dsp
+    from vlite_fast_tpu.runtime.control import ObservationDocument
+    from vlite_fast_tpu.runtime.pipeline import StationPipeline
+
+    cfg = PipelineConfig.tiny(inject_frb=True)
+    scfg = SearchConfig.tiny()
+    n_sec = dsp.inject_window_seconds(cfg) + 3
+    assert n_sec < C.INJECT_PERIOD_S
+    rng = np.random.default_rng(7)
+    secs = [np.clip(rng.standard_normal(
+        (cfg.npol_in, cfg.sample_rate)) / 0.05914 + 128.5, 0,
+        255).astype(np.uint8) for _ in range(n_sec)]
+
+    pipe = StationPipeline(1, cfg, scfg, out_dir="/tmp/vfast_gate",
+                           keep_ring=False, write_cands=False)
+    got = []
+    pipe.block_taps.append(lambda sid, off, blk: got.append(blk.copy()))
+    od = ObservationDocument(name="GATE", start_time=1.6e9)
+    pipe.begin_observation(od, write_fil=False)
+    routed = []
+    for s in range(n_sec):
+        pipe.feed_second(1.6e9 + s, jnp.asarray(secs[s]))
+        routed.append(pipe._nsec - 1 < pipe._inject_until)
+    pipe.end_observation()
+    pipe.close()
+    # the fast path must actually engage after the window
+    assert routed[0] and not routed[-1], routed
+
+    # oracle: the injection program every second, same arm schedule
+    st = dsp.init_state(cfg)
+    want = []
+    for s in range(n_sec):
+        out, st = dsp.process_second(
+            cfg, jnp.asarray(secs[s]), st,
+            jnp.asarray(s % C.INJECT_PERIOD_S == 0))
+        want.append(np.asarray(out.packed_kur if cfg.rfi_mode
+                               else out.packed))
+    np.testing.assert_array_equal(np.concatenate(got, axis=0),
+                                  np.concatenate(want, axis=0))

@@ -81,12 +81,41 @@ def init_state(cfg: PipelineConfig) -> DSPState:
     )
 
 
-def _frb_delay_array(cfg: PipelineConfig) -> jax.Array:
+def _frb_delays_np(cfg: PipelineConfig) -> np.ndarray:
     spectra_per_sec = cfg.seg_per_sec * cfg.ffts_per_seg
-    return jnp.asarray(inj_ops.frb_delays(
+    return inj_ops.frb_delays(
         cfg.nchan, cfg.inject_dm, spectra_per_sec,
         freq_top_ghz=cfg.freq_top_mhz / 1e3,
-        bandwidth_ghz=cfg.bandwidth_mhz / 1e3))
+        bandwidth_ghz=cfg.bandwidth_mhz / 1e3)
+
+
+def _frb_delay_array(cfg: PipelineConfig) -> jax.Array:
+    return jnp.asarray(_frb_delays_np(cfg))
+
+
+def _inject_active_limit_segs(cfg: PipelineConfig) -> int:
+    """Last segment index (since arming) whose spectra can still lie on
+    the injected track: the DM-80 sweep bottoms out max(delays) + width
+    spectra after the top-of-band arrival (~1.2 s of the 60 s arming
+    period, ref src/process_baseband.cu:1098-1102)."""
+    width = cfg.inject_width_s * cfg.seg_per_sec * cfg.ffts_per_seg
+    max_d = float(_frb_delays_np(cfg).max())
+    return int(np.ceil((max_d + width) / cfg.ffts_per_seg)) + 1
+
+
+def inject_window_seconds(cfg: PipelineConfig) -> int:
+    """Whole seconds (from the arming second, inclusive) during which the
+    injected track can still intersect the data.  Host runtimes use this
+    to dispatch the injection-free compiled chain outside the window:
+    the track multiply + select cost two extra passes over the spectra
+    plane per segment (~8 of 59 ms/data-second measured), and an
+    in-graph lax.cond saves nothing — the conditional's operand boundary
+    breaks the DFT->detect fusion and pessimizes the scan (59.5 vs 51.1
+    ms/data-second measured for the never-taken branch).  Outside the
+    window the injection path multiplies by all-ones, so skipping it is
+    byte-exact."""
+    return int(np.ceil((_inject_active_limit_segs(cfg) + 1)
+                       / cfg.seg_per_sec)) + 1
 
 
 def _rfi_stage(cfg: PipelineConfig, raw: jax.Array, x: jax.Array):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import time
+import dataclasses
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional
 
@@ -204,6 +205,11 @@ class StationPipeline:
         self.write_kurto = write_kurto   # WRITE_KURTO role (weights dump)
         self._weights_accum: List[np.ndarray] = []
         self.state = dsp.init_state(cfg)
+        # injection-free twin of the chain for seconds outside the ~2 s
+        # post-arm window (host-side gating; see feed_second)
+        self._cfg_noinject = dataclasses.replace(cfg, inject_frb=False) \
+            if cfg.inject_frb else cfg
+        self._inject_until = -1
         self._fb = GulpStream()
         self._fb_dev = DeviceGulpStream()
         self._searched_to = 0
@@ -268,6 +274,7 @@ class StationPipeline:
         self._cands: List[dd.Candidate] = []
         self._nsec = 0
         self._t0_unix = None
+        self._inject_until = -1
         if self.ring is not None:
             self.ring.set_obs_header(od.to_ascii_header(self.station_id))
 
@@ -296,10 +303,23 @@ class StationPipeline:
             self.ring.write(buf.reshape(-1), timestamp=float(sec),
                             flags=FLAG_OBS_START if self._nsec == 0 else 0,
                             overwrite=True)
-        arm = jnp.asarray(cfg.inject_frb
-                          and self._nsec % C.INJECT_PERIOD_S == 0)
+        arm_host = bool(cfg.inject_frb
+                        and self._nsec % C.INJECT_PERIOD_S == 0)
+        if arm_host:
+            self._inject_until = self._nsec + dsp.inject_window_seconds(cfg)
+        # host-side injection gating: outside the ~2 s window after
+        # arming, the injected track cannot intersect this second, so
+        # dispatch the injection-free compiled chain instead (byte-exact
+        # — the skipped path multiplies by all-ones; ~8 of 59
+        # ms/data-second measured.  An in-graph lax.cond pessimizes the
+        # scan even on the never-taken branch, see
+        # dsp.inject_window_seconds).  The carried segs_since_inject
+        # bookkeeping is identical in both programs.
+        use_cfg = cfg if (cfg.inject_frb
+                          and self._nsec < self._inject_until) \
+            else self._cfg_noinject
         out, self.state = dsp.process_second(
-            cfg, jnp.asarray(buf), self.state, arm)
+            use_cfg, jnp.asarray(buf), self.state, jnp.asarray(arm_host))
         # double-buffered output drain (the reference's 10 s host-side
         # output buffering, process_baseband.cu:691-697): the previous
         # second's device result is fetched and post-processed while this
