@@ -137,6 +137,22 @@ class PipelineConfig:
                                    # cost, same verdict as the fused-RFI
                                    # and one-pass-EMA attempts).
                                    # benchmarks/bench_dft_exactbf16_tpu
+    dft_stage2: str = "direct"     # complex product form for the DFT's
+                                   # second Cooley-Tukey stage: 'direct'
+                                   # (4 real einsums; default BY
+                                   # MEASUREMENT) | 'gauss' (the
+                                   # 3-multiplication trick: m1=(br+bi)
+                                   # w2r, m2=br(w2i-w2r), m3=bi(w2i+w2r)
+                                   # — one fewer MXU pass, ~equal
+                                   # rounding, 99.994% 2-bit agreement).
+                                   # gauss measured SLOWER in-chain
+                                   # (50.6 vs 49.9 ms/data-second): the
+                                   # MXU is at ~6% util so the saved
+                                   # pass buys nothing, while the br+bi
+                                   # pre-add is a new elementwise HBM
+                                   # pass — same verdict as
+                                   # dft_exact_input.
+                                   # benchmarks/bench_dft_gauss_tpu.py
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
                                    # zero-weights whole FFT blocks; the
@@ -227,6 +243,8 @@ class PipelineConfig:
         if self.front_layout not in ("frames", "mixed", "flat"):
             raise ValueError(
                 "front_layout must be 'frames', 'mixed' or 'flat'")
+        if self.dft_stage2 not in ("direct", "gauss"):
+            raise ValueError("dft_stage2 must be 'direct' or 'gauss'")
         if self.batch_streams and (self.ema_impl == "pallas"
                                    or self.channelizer == "pfb"):
             # only the default per-segment scan path implements the

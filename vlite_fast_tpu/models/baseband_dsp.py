@@ -215,7 +215,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         def spectra(v, stream=0):
             out = ch_ops.matmul_rfft_framed(
                 v, cfg.nfft, precision=cfg.dft_precision,
-                exact_bf16_input=cfg.dft_exact_input)
+                exact_bf16_input=cfg.dft_exact_input,
+                stage2=cfg.dft_stage2)
             return out.reshape(cfg.npol_in, cfg.ffts_per_seg, -1)
     elif cfg.channelizer == "pfb":
         # streaming WOLA: prepend the carried (ntap-1)*nfft voltages so
@@ -243,7 +244,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
             # stage 1 of the 'high' DFT runs in 2 bf16 passes
             return ch_ops.channelize(v, cfg.nfft, method=cfg.channelizer,
                                      precision=cfg.dft_precision,
-                                     exact_bf16_input=cfg.dft_exact_input)
+                                     exact_bf16_input=cfg.dft_exact_input,
+                                     stage2=cfg.dft_stage2)
 
     def maybe_inject(spec):
         if not cfg.inject_frb:
@@ -304,7 +306,8 @@ def process_segment(cfg: PipelineConfig, raw: jax.Array,
         spec2 = ch_ops.channelize(jnp.concatenate([x, x_kur], axis=0),
                                   cfg.nfft, method=cfg.channelizer,
                                   precision=cfg.dft_precision,
-                                  exact_bf16_input=cfg.dft_exact_input)
+                                  exact_bf16_input=cfg.dft_exact_input,
+                                  stage2=cfg.dft_stage2)
         packed, bp = finish_plain(maybe_inject(spec2[:cfg.npol_in]), bp)
         packed_kur, bp_kur = finish_kur(
             maybe_inject(spec2[cfg.npol_in:]), bp_kur)
@@ -358,7 +361,8 @@ def _second_powers(cfg: PipelineConfig, raw_second: jax.Array,
                 return ch_ops.channelize(v, cfg.nfft,
                                          method=cfg.channelizer,
                                          precision=cfg.dft_precision,
-                                         exact_bf16_input=cfg.dft_exact_input)
+                                         exact_bf16_input=cfg.dft_exact_input,
+                                         stage2=cfg.dft_stage2)
 
         def maybe_inject(spec):
             if not cfg.inject_frb:

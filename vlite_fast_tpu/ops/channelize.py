@@ -24,7 +24,8 @@ import numpy as np
 
 def channelize(x: jax.Array, nfft: int, method: str = "fft",
                precision: str = "highest",
-               exact_bf16_input: bool = False) -> jax.Array:
+               exact_bf16_input: bool = False,
+               stage2: str = "direct") -> jax.Array:
     """(npol, nsamp) real voltages -> (npol, nspec, nchan) complex spectra.
 
     nchan = nfft//2 + 1; spectrum s covers samples [s*nfft, (s+1)*nfft).
@@ -41,7 +42,8 @@ def channelize(x: jax.Array, nfft: int, method: str = "fft",
         # planes formulation: measured 60.7 vs 63.7 ms per data-second
         # in-chain (benchmarks/bench_dft_planes_tpu.py)
         return matmul_rfft_planes(frames, nfft, precision=precision,
-                                  exact_bf16_input=exact_bf16_input)
+                                  exact_bf16_input=exact_bf16_input,
+                                  stage2=stage2)
     return jnp.fft.rfft(frames, axis=-1)
 
 
@@ -115,9 +117,19 @@ def _ct_tables_planes(nfft: int) -> tuple:
                  (w1.real, w1.imag, tw.real, tw.imag, w2s.real, w2s.imag))
 
 
+@lru_cache(maxsize=8)
+def _ct_tables_gauss(nfft: int) -> tuple:
+    """Derived stage-2 planes for the Gauss 3-multiplication complex
+    product: (w2r, w2i - w2r, w2i + w2r)."""
+    *_, w2r, w2i = _ct_tables_planes(nfft)
+    return (w2r, np.ascontiguousarray(w2i - w2r),
+            np.ascontiguousarray(w2i + w2r))
+
+
 def matmul_rfft_planes(frames: jax.Array, nfft: int,
                        precision: str = "highest",
-                       exact_bf16_input: bool = False) -> jax.Array:
+                       exact_bf16_input: bool = False,
+                       stage2: str = "direct") -> jax.Array:
     """matmul_rfft computed on explicit float32 real/imag PLANES.
 
     jnp.einsum(real, complex) promotes the voltages to complex64, so the
@@ -141,13 +153,15 @@ def matmul_rfft_planes(frames: jax.Array, nfft: int,
     batch = frames.shape[:-1]
     x = frames.reshape(-1, n1, n2).astype(jnp.float32)
     out = matmul_rfft_framed(x, nfft, precision=precision,
-                             exact_bf16_input=exact_bf16_input)
+                             exact_bf16_input=exact_bf16_input,
+                             stage2=stage2)
     return out.reshape(*batch, out.shape[-1])
 
 
 def matmul_rfft_framed(x: jax.Array, nfft: int,
                        precision: str = "highest",
-                       exact_bf16_input: bool = False) -> jax.Array:
+                       exact_bf16_input: bool = False,
+                       stage2: str = "direct") -> jax.Array:
     """The matmul_rfft_planes core on voltages ALREADY in the
     Cooley-Tukey frame layout: x (b, n1, n2) float32 -> (b, nchan)
     complex64.  Callers that keep the chain in frame layout end-to-end
@@ -178,10 +192,24 @@ def matmul_rfft_framed(x: jax.Array, nfft: int,
         ai = jnp.einsum("bnm,nk->bkm", x, w1i, precision=precision)
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
-    pr = (jnp.einsum("bkm,mj->bjk", br, w2r, precision=precision)
-          - jnp.einsum("bkm,mj->bjk", bi, w2i, precision=precision))
-    pi = (jnp.einsum("bkm,mj->bjk", br, w2i, precision=precision)
-          + jnp.einsum("bkm,mj->bjk", bi, w2r, precision=precision))
+    if stage2 == "gauss":
+        # Gauss 3-multiplication complex product: one fewer stage-2 MXU
+        # pass (3 vs 4 einsums) at ~the same rounding level (each
+        # product keeps the full `precision` emulation; the extra
+        # elementwise pre-adds fuse into the matmul operands).
+        #   m1 = (br+bi)w2r, m2 = br(w2i-w2r), m3 = bi(w2i+w2r)
+        #   pr = m1 - m3, pi = m1 + m2
+        g2r, g2d, g2s = map(jnp.asarray, _ct_tables_gauss(nfft))
+        m1 = jnp.einsum("bkm,mj->bjk", br + bi, g2r, precision=precision)
+        m2 = jnp.einsum("bkm,mj->bjk", br, g2d, precision=precision)
+        m3 = jnp.einsum("bkm,mj->bjk", bi, g2s, precision=precision)
+        pr = m1 - m3
+        pi = m1 + m2
+    else:
+        pr = (jnp.einsum("bkm,mj->bjk", br, w2r, precision=precision)
+              - jnp.einsum("bkm,mj->bjk", bi, w2i, precision=precision))
+        pi = (jnp.einsum("bkm,mj->bjk", br, w2i, precision=precision)
+              + jnp.einsum("bkm,mj->bjk", bi, w2r, precision=precision))
     lin_r = pr.reshape(-1, n2_out * n1)[:, :nchan]
     lin_i = pi.reshape(-1, n2_out * n1)[:, :nchan]
     return jax.lax.complex(lin_r, lin_i)
