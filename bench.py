@@ -141,11 +141,26 @@ def main():
     out, st = dsp.process_second(cfg, staged[0], state, arm)
     _ = np.asarray(out.packed_kur)          # host fetch = hard sync
     t0 = time.perf_counter()
-    for i in range(5):
+    for i in range(10):
         out, st = dsp.process_second(cfg, staged[i % 3], st, arm)
     _ = np.asarray(out.packed_kur)
     _ = np.asarray(st.bp_kur)
-    dsp_rt = 5 / (time.perf_counter() - t0)
+    dsp_rt = 10 / (time.perf_counter() - t0)
+
+    # the injection-free twin the pipeline actually dispatches outside
+    # the ~2 s post-arm window (58 of every 60 s; host-side gating in
+    # StationPipeline.feed_second)
+    import dataclasses
+    cfg_off = dataclasses.replace(cfg, inject_frb=False)
+    st2 = jax.device_put(dsp.init_state(cfg_off), dev)
+    out2, st2 = dsp.process_second(cfg_off, staged[0], st2, arm)
+    _ = np.asarray(out2.packed_kur)
+    t0 = time.perf_counter()
+    for i in range(10):
+        out2, st2 = dsp.process_second(cfg_off, staged[i % 3], st2, arm)
+    _ = np.asarray(out2.packed_kur)
+    _ = np.asarray(st2.bp_kur)
+    dsp_rt_gated = 10 / (time.perf_counter() - t0)
 
     # --- utilization grounding (VERDICT r2 #9): measured FLOP/s and HBM
     # GB/s against the v5e peaks, so the RT factors map to hardware ----
@@ -220,6 +235,7 @@ def main():
         "unit": "antennas per chip (x real-time, integrated loop)",
         "vs_baseline": round(integrated_rt, 3),
         "dsp_only_rt_factor": round(dsp_rt, 3),
+        "dsp_only_rt_factor_gated": round(dsp_rt_gated, 3),
         "seconds_processed": n_sec,
         "wall_s": round(wall, 3),
         "candidates": len(prod.candidates),
