@@ -42,7 +42,22 @@ paths = sorted(glob.glob(os.path.join(
     trace_dir, "**", "*.xplane.pb"), recursive=True))
 print("xplane files:", paths, flush=True)
 
-from tensorflow.tsl.profiler.protobuf import xplane_pb2
+# the xplane schema ships with several packages; TF is merely the one
+# present in this image — probe rather than hard-depend (ADVICE r3)
+xplane_pb2 = None
+for _prov in ("tensorflow.tsl.profiler.protobuf",
+              "tsl.profiler.protobuf",
+              "xprof.protobuf"):
+    try:
+        import importlib
+        xplane_pb2 = importlib.import_module(_prov + ".xplane_pb2")
+        break
+    except ImportError:
+        continue
+if xplane_pb2 is None:
+    sys.exit("no xplane_pb2 provider found (tensorflow/tsl/xprof); "
+             f"raw trace left in {trace_dir} — open it with xprof/"
+             "tensorboard instead")
 
 space = xplane_pb2.XSpace()
 with open(paths[-1], "rb") as f:

@@ -412,3 +412,41 @@ def test_inject_host_gating_byte_exact():
                                else out.packed))
     np.testing.assert_array_equal(np.concatenate(got, axis=0),
                                   np.concatenate(want, axis=0))
+
+
+def test_prewarm_compiles_both_programs():
+    """begin_observation must compile BOTH the injection-armed chain and
+    its injection-free twin BEFORE the first second is fed: the twin is
+    first dispatched mid-observation (feed_second host gating), and a
+    lazy compile there is a multi-minute real-time stall on a cold cache
+    (the reference compiles its CUDA kernels at process start, not in
+    the hot loop)."""
+    from vlite_fast_tpu.config import PipelineConfig, SearchConfig
+    from vlite_fast_tpu.models import baseband_dsp as dsp
+    from vlite_fast_tpu.runtime.control import ObservationDocument
+    from vlite_fast_tpu.runtime.pipeline import StationPipeline
+
+    cfg = PipelineConfig.tiny(inject_frb=True)
+    pipe = StationPipeline(1, cfg, SearchConfig.tiny(),
+                           out_dir="/tmp/vfast_prewarm",
+                           keep_ring=False, write_cands=False)
+    dsp.process_second._clear_cache()
+    assert dsp.process_second._cache_size() == 0
+    pipe.begin_observation(ObservationDocument(name="W", start_time=1.6e9),
+                           write_fil=False)
+    # two programs (armed cfg + injection-free twin) already compiled —
+    # the first feed_second can never trigger a compile of either
+    assert dsp.process_second._cache_size() == 2
+    rng = np.random.default_rng(3)
+    buf = np.clip(rng.standard_normal(
+        (cfg.npol_in, cfg.sample_rate)) / 0.05914 + 128.5, 0,
+        255).astype(np.uint8)
+    for s in range(2):
+        pipe.feed_second(1.6e9 + s, buf)
+    assert dsp.process_second._cache_size() == 2
+    pipe.end_observation()
+    pipe.close()
+
+    # a second observation on the same pipeline re-warms for free
+    pipe2_calls = dsp.process_second._cache_size()
+    assert pipe2_calls == 2

@@ -210,6 +210,7 @@ class StationPipeline:
         self._cfg_noinject = dataclasses.replace(cfg, inject_frb=False) \
             if cfg.inject_frb else cfg
         self._inject_until = -1
+        self._prewarmed = False
         self._fb = GulpStream()
         self._fb_dev = DeviceGulpStream()
         self._searched_to = 0
@@ -275,8 +276,29 @@ class StationPipeline:
         self._nsec = 0
         self._t0_unix = None
         self._inject_until = -1
+        self._prewarm()
         if self.ring is not None:
             self.ring.set_obs_header(od.to_ascii_header(self.station_id))
+
+    def _prewarm(self) -> None:
+        """Compile BOTH chain programs (injection-armed + injection-free
+        twin) before the first second is fed.  The twin is first
+        dispatched mid-observation (feed_second's host gating), and a
+        lazy compile there is a multi-minute real-time stall on a cold
+        cache — a real-time-system bug, not a throughput detail.  One
+        dummy dispatch per program populates the jit cache; subsequent
+        dispatches reuse it (process_second is jitted with cfg static)."""
+        if self._prewarmed or not self.cfg.inject_frb:
+            return
+        import jax
+        dummy = jnp.zeros((self.cfg.npol_in, self.cfg.sample_rate),
+                          jnp.uint8)
+        st = dsp.init_state(self.cfg)
+        for prog_cfg in (self.cfg, self._cfg_noinject):
+            out, _ = dsp.process_second(prog_cfg, dummy, st,
+                                        jnp.bool_(False))
+            jax.block_until_ready(out)
+        self._prewarmed = True
 
     def feed_second(self, sec: float, buf: np.ndarray) -> List[dd.Candidate]:
         """Dispatch one second; returns candidates that became final while
