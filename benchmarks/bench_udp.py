@@ -7,7 +7,11 @@ This drives the production path — recvmmsg batch drain (csrc/netcap.cpp)
 -> vectorized SecondAssembler -> shm ring — from a forked sender process
 blasting real 5032-byte VDIF frames at localhost.
 
-Run: python benchmarks/bench_udp.py [seconds] [rate_frames_per_sec]
+Run: python benchmarks/bench_udp.py [seconds] [rate_frames_per_sec] [udp|raw]
+`raw` soaks the AF_PACKET transport instead (RawCapture — the reference's
+production capture path, src/utils.c:345-407): the same UDP blast over
+loopback is captured OFF THE WIRE with the 42-byte encapsulation stripped
+in the C helper.  Requires CAP_NET_RAW.
 Prints one JSON line with achieved receive/assembly rates.
 """
 
@@ -78,10 +82,23 @@ def sender_proc(port: int, frames, fps_total: int, lib):
 def main():
     nsec = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     fps_total = int(sys.argv[2]) if len(sys.argv) > 2 else 2 * C.FRAMES_PER_SEC
+    transport = sys.argv[3] if len(sys.argv) > 3 else "udp"
 
-    rx = capture.UDPCapture(port=0, sample_rate=C.VLITE_RATE, batch=1024)
+    sink = None
+    if transport == "raw":
+        # a bound (never-read) UDP socket owns the port so the kernel
+        # doesn't answer every frame with ICMP port-unreachable; the
+        # AF_PACKET tap sees the packets regardless of the UDP queue
+        sink = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sink.bind(("127.0.0.1", 0))
+        port = sink.getsockname()[1]
+        rx = capture.RawCapture(iface="lo", port=port,
+                                sample_rate=C.VLITE_RATE, batch=1024)
+    else:
+        rx = capture.UDPCapture(port=0, sample_rate=C.VLITE_RATE,
+                                batch=1024)
+        port = rx.sock.getsockname()[1]
     assert rx._lib is not None, "netcap helper missing"
-    port = rx.sock.getsockname()[1]
     ring = RingBuffer("/vfast_udp_soak", bufsz=2 * C.VLITE_RATE, nbufs=2,
                       create=True)
     warm = np.zeros(2 * C.VLITE_RATE, np.uint8)
@@ -112,10 +129,14 @@ def main():
     os.waitpid(pid, 0)
     st = rx.asm.stats
     rx.close()
+    if sink is not None:
+        sink.close()
     ring.close(unlink=True)
     received = st.frames
     print(json.dumps({
-        "metric": "UDP capture soak (recvmmsg + assembler + shm ring)",
+        "metric": f"{transport.upper()} capture soak "
+                  "(batch drain + assembler + shm ring)",
+        "transport": transport,
         "target_frames_per_s": fps_total,
         "achieved_frames_per_s": round(received / dt),
         "wall_s": round(dt, 2),

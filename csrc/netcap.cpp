@@ -16,6 +16,9 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <linux/if_packet.h>
+#include <vector>
+
 extern "C" {
 
 // Receive up to max_frames datagrams of exactly frame_bytes each into the
@@ -84,6 +87,98 @@ int64_t udp_drain(int fd, void* buf, uint64_t frame_bytes,
     bool drained = (unsigned)n < want;
     kept = good;
     if (drained) break;
+  }
+  if (anomalous) *anomalous += bad;
+  return (int64_t)kept;
+}
+
+// AF_PACKET raw-socket drain: the reference's production capture path
+// (ref src/utils.c:345-407 openRawSocket binds PF_PACKET to the fiber
+// interface; src/writer.c:611-614 drains 20 packets per wake).  A raw
+// socket sees EVERY packet on the interface, so unlike udp_drain this
+// must (1) strip the ethernet/IPv4/UDP encapsulation to recover the VDIF
+// frame and (2) filter to our stream: IPv4 + UDP + matching destination
+// port.  Foreign traffic is skipped silently (it is not anomalous — a
+// raw socket has no kernel-side port bind); packets that MATCH the port
+// but carry a wrong-sized payload are counted in *anomalous, the same
+// escalating-abort accounting the UDP path feeds.  PACKET_OUTGOING
+// copies (loopback TX echoes) are skipped so a localhost soak counts
+// each frame once.
+//
+// Same ABI shape as udp_drain; payloads land CONTIGUOUSLY in `buf`
+// (headers stripped) so the Python side reuses the identical vectorized
+// feed_stream fast path.
+int64_t raw_drain(int fd, void* buf, uint64_t frame_bytes,
+                  uint16_t udp_port, uint64_t max_frames, int timeout_ms,
+                  uint64_t* anomalous) {
+  if (max_frames == 0) return 0;
+  struct pollfd pfd = {fd, POLLIN, 0};
+  int pr = poll(&pfd, 1, timeout_ms);
+  if (pr <= 0) return pr < 0 ? -1 : 0;
+
+  constexpr unsigned CHUNK = 64;
+  constexpr uint64_t ETH_HDR = 14, IP_HDR = 20, UDP_HDR = 8;
+  const uint64_t wire_bytes = ETH_HDR + IP_HDR + UDP_HDR + frame_bytes;
+  static thread_local mmsghdr msgs[CHUNK];
+  static thread_local iovec iovs[CHUNK];
+  static thread_local sockaddr_ll addrs[CHUNK];
+  static thread_local std::vector<char> scratch;
+  // +1 slack byte so an oversize packet shows msg_len > wire_bytes even
+  // without MSG_TRUNC semantics differences across socket types
+  const uint64_t slot = wire_bytes + 1;
+  if (scratch.size() < CHUNK * slot) scratch.resize(CHUNK * slot);
+
+  char* out = (char*)buf;
+  uint64_t kept = 0, bad = 0;
+  while (kept < max_frames) {
+    unsigned want = max_frames - kept < CHUNK
+                        ? (unsigned)(max_frames - kept) : CHUNK;
+    for (unsigned i = 0; i < want; ++i) {
+      iovs[i].iov_base = scratch.data() + i * slot;
+      iovs[i].iov_len = slot;
+      memset(&msgs[i].msg_hdr, 0, sizeof(msghdr));
+      msgs[i].msg_hdr.msg_iov = &iovs[i];
+      msgs[i].msg_hdr.msg_iovlen = 1;
+      msgs[i].msg_hdr.msg_name = &addrs[i];
+      msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_ll);
+      msgs[i].msg_len = 0;
+    }
+    int n = recvmmsg(fd, msgs, want, MSG_DONTWAIT, nullptr);
+    if (n < 0) {
+      if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR)
+        break;
+      if (kept == 0) {
+        if (anomalous) *anomalous += bad;
+        return -1;
+      }
+      break;
+    }
+    if (n == 0) break;
+    for (int i = 0; i < n; ++i) {
+      if (addrs[i].sll_pkttype == PACKET_OUTGOING) continue;
+      const unsigned char* p =
+          (const unsigned char*)scratch.data() + (uint64_t)i * slot;
+      uint64_t len = msgs[i].msg_len;
+      // IPv4, no options, UDP (the VDIF encapsulation the VLA fiber
+      // carries; an IHL > 5 packet is not our stream)
+      if (len < ETH_HDR + IP_HDR + UDP_HDR) continue;
+      if (p[12] != 0x08 || p[13] != 0x00) continue;      // ethertype IPv4
+      if ((p[ETH_HDR] & 0xF0) != 0x40) continue;          // version 4
+      if ((p[ETH_HDR] & 0x0F) != 5) continue;             // IHL 5
+      if (p[ETH_HDR + 9] != 17) continue;                 // proto UDP
+      uint16_t dport = (uint16_t)(p[ETH_HDR + IP_HDR + 2] << 8) |
+                       p[ETH_HDR + IP_HDR + 3];
+      if (udp_port != 0 && dport != udp_port) continue;
+      if (len != wire_bytes ||
+          (msgs[i].msg_hdr.msg_flags & MSG_TRUNC)) {
+        ++bad;                       // our stream, wrong frame size
+        continue;
+      }
+      memcpy(out + kept * frame_bytes, p + ETH_HDR + IP_HDR + UDP_HDR,
+             frame_bytes);
+      if (++kept >= max_frames) break;
+    }
+    if ((unsigned)n < want) break;   // drained
   }
   if (anomalous) *anomalous += bad;
   return (int64_t)kept;

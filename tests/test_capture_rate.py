@@ -221,6 +221,83 @@ def test_udp_drain_batch_receive():
     assert len(done) >= 1
 
 
+def _raw_rx_or_skip(port, rate, batch=512):
+    try:
+        return capture.RawCapture(iface="lo", port=port, sample_rate=rate,
+                                  batch=batch)
+    except (PermissionError, OSError) as e:
+        pytest.skip(f"AF_PACKET unavailable: {e}")
+
+
+def test_raw_capture_loopback():
+    """AF_PACKET transport (the reference's production capture,
+    src/utils.c:345-407): UDP/IPv4-framed VDIF sent over loopback is
+    recovered by RawCapture with the encapsulation stripped — including
+    the port filter (foreign traffic ignored silently) and anomalous
+    counting (wrong-sized payload on OUR port)."""
+    rate = RATE
+    stream, samples = make_stream(nsec=2, rate=rate)
+    fb = C.VDIF_FRAME_BYTES
+    frames = stream.reshape(-1, fb)
+
+    # pick a free UDP port by binding a throwaway socket (also prevents
+    # ICMP port-unreachable storms from the kernel)
+    sink = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sink.bind(("127.0.0.1", 0))
+    port = sink.getsockname()[1]
+    other = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    other.bind(("127.0.0.1", 0))
+
+    rx = _raw_rx_or_skip(port, rate)
+    if rx._lib is None:
+        rx.close()
+        pytest.skip("netcap helper unavailable")
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        done = []
+        for i in range(0, len(frames), 128):
+            for f in frames[i:i + 128]:
+                tx.sendto(f.tobytes(), ("127.0.0.1", port))
+            if i == 0:
+                # foreign traffic: must be IGNORED (not anomalous)
+                tx.sendto(b"y" * 200,
+                          ("127.0.0.1", other.getsockname()[1]))
+                # runt on OUR port: anomalous
+                tx.sendto(b"x" * 100, ("127.0.0.1", port))
+            done += rx.poll(max_frames=512)
+        deadline = time.time() + 3.0
+        while rx.asm.stats.frames < len(frames) and time.time() < deadline:
+            done += rx.poll(max_frames=512)
+        done += [(capture.to_unix(s, rx.asm.ref_epoch), b)
+                 for s, b in rx.asm.flush()]
+    finally:
+        tx.close()
+        rx.close()
+        sink.close()
+        other.close()
+    assert rx.asm.stats.frames == len(frames)
+    assert rx.asm.stats.skipped == 0
+    assert rx.asm.stats.anomalous == 1      # the runt only, not foreign
+    # payloads survived the 42-byte header strip byte-exactly
+    assert len(done) >= 1
+    np.testing.assert_array_equal(done[0][1], samples[:, :rate])
+
+
+def test_open_capture_transport_switch():
+    from vlite_fast_tpu.runtime.capture import open_capture
+    rx = open_capture("udp:0", sample_rate=RATE)
+    assert isinstance(rx, capture.UDPCapture)
+    rx.close()
+    try:
+        rx = open_capture("raw:lo:7777", sample_rate=RATE)
+        assert isinstance(rx, capture.RawCapture)
+        rx.close()
+    except (PermissionError, OSError):
+        pass                      # unprivileged host: UDP remains usable
+    with pytest.raises(ValueError):
+        open_capture("carrier-pigeon:1")
+
+
 def test_station_daemon_aborts_on_capture_fault():
     """The fail-fast rails end a live observation (writer.c:663-672):
     a frame stream with a catastrophic gap rate must terminate
@@ -235,7 +312,7 @@ def test_station_daemon_aborts_on_capture_fault():
                       command_port=None, coincidencer=None,
                       trigger_port=None)
     try:
-        gen = d._udp_seconds(0)        # binds an ephemeral port? no: 0
+        gen = d._live_seconds("udp:0")  # binds an ephemeral port? no: 0
     except OSError:
         d.shutdown()
         pytest.skip("cannot bind")

@@ -389,7 +389,11 @@ class AntennaConfig:
     name: str = ""
     position_m: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # ECEF-ish
     source: str = "udp:20000"    # station data source: 'udp:PORT' (live
-                                 # VDIF datagrams) or 'file:PATH' (replay)
+                                 # VDIF datagrams), 'raw:IFACE:PORT'
+                                 # (AF_PACKET capture of UDP/IPv4-framed
+                                 # VDIF off the wire — the reference's
+                                 # production transport, src/utils.c:
+                                 # 345-407) or 'file:PATH' (replay)
     host: str = ""               # where this station's daemon runs:
                                  # ''/localhost = spawned by `launch`
                                  # locally; anything else = ssh fan-out

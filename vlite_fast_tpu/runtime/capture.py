@@ -14,12 +14,15 @@ at 50000, ref writer.c:35-37,663-672) and anomalous packets (100/500, ref
 :702-717); a full ring aborts (ref :719-727).  `CaptureStats.abort_reason`
 is the hook the station daemon polls.
 
-Unlike the reference's raw PF_PACKET capture (src/utils.c:345-407) this uses
-portable UDP sockets — TPU hosts are not on the VLA fiber; the wire format
-(one VDIF frame per datagram) is preserved.  The hot receive path drains
-whole batches per syscall via the C++ recvmmsg helper (csrc/netcap.cpp,
-the role of the reference's 20-packet recvfrom burst, writer.c:611-614) and
-frame scatter into the second buffer is a single vectorized assignment.
+Two live transports behind one poll() surface (open_capture switch):
+portable UDP sockets (one VDIF frame per datagram — test rigs, hosts off
+the fiber) and AF_PACKET raw capture of UDP/IPv4-framed VDIF straight off
+an interface (RawCapture — the reference's production transport, ref
+src/utils.c:345-407 openRawSocket).  Either way the hot receive path
+drains whole batches per syscall via the C++ recvmmsg helper
+(csrc/netcap.cpp, the role of the reference's 20-packet recvfrom burst,
+writer.c:611-614) and frame scatter into the second buffer is a single
+vectorized assignment.
 """
 
 from __future__ import annotations
@@ -387,3 +390,149 @@ class UDPCapture:
 
     def close(self):
         self.sock.close()
+
+
+class RawCapture:
+    """Live capture from an AF_PACKET raw socket — the reference's
+    production transport (ref src/utils.c:345-407 openRawSocket binds
+    PF_PACKET to the fiber interface; src/writer.c:611-614 drains 20
+    packets per wake).  On a deployment where the VLA fiber delivers
+    ethernet-framed UDP/IPv4 VDIF, a UDP socket bound to the port never
+    sees the traffic unless the host's IP stack owns the destination
+    address; a raw socket captures it regardless.
+
+    Same poll() surface as UDPCapture: the C helper (csrc/netcap.cpp
+    raw_drain) strips the 42-byte eth+IPv4+UDP encapsulation, filters to
+    `port`, and lands VDIF frames contiguously for the identical
+    vectorized SecondAssembler path.  Requires CAP_NET_RAW.
+    """
+
+    WIRE_OVERHEAD = 14 + 20 + 8    # eth + IPv4(no options) + UDP
+
+    def __init__(self, iface: str = "lo", port: int = 20000,
+                 sample_rate: int = C.VLITE_RATE, batch: int = 256,
+                 wallclock_check: bool = False):
+        # ETH_P_IP (0x0800): the kernel delivers only IPv4 frames; the
+        # helper still re-checks the encapsulation per packet
+        self.sock = socket.socket(socket.AF_PACKET, socket.SOCK_RAW,
+                                  socket.htons(0x0800))
+        # PACKET_IGNORE_OUTGOING: without it every locally-sent packet is
+        # delivered AGAIN as a TX echo — on loopback that doubles the
+        # queue load and was measured to overflow the receive buffer at
+        # wire rate (the C helper's pkttype check only discards them
+        # after they already cost a queue slot)
+        try:
+            self.sock.setsockopt(263, 23, 1)   # SOL_PACKET, IGNORE_OUTGOING
+        except OSError:
+            pass                               # pre-4.20 kernel: C check
+        if port:
+            self._attach_bpf(port)
+        want = 64 * 1024 * 1024
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, 33, want)  # RCVBUFFORCE
+        except OSError:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 want)
+        self.rcvbuf = self.sock.getsockopt(socket.SOL_SOCKET,
+                                           socket.SO_RCVBUF)
+        self.sock.bind((iface, 0))
+        self.sock.settimeout(0.5)
+        self.port = port
+        self.asm = SecondAssembler(sample_rate,
+                                   wallclock_check=wallclock_check)
+        self.batch = batch
+        self._lib = _netcap_lib()
+        self._scratch = np.empty(batch * C.VDIF_FRAME_BYTES, np.uint8)
+
+    def _attach_bpf(self, port: int) -> None:
+        """In-kernel classic-BPF filter: keep only IPv4/UDP, unfragmented,
+        destination port == ours.  A raw socket otherwise queues EVERY
+        packet on the interface; foreign traffic at line rate would evict
+        our frames from the receive buffer before userspace drains them
+        (the reference gets the same effect from a dedicated fiber VLAN)."""
+        import ctypes
+        import struct
+
+        def ins(code, jt, jf, k):
+            return struct.pack("HBBI", code, jt, jf, k)
+
+        # tcpdump -dd 'udp dst port P' against an ethernet link layer
+        prog = b"".join([
+            ins(0x28, 0, 0, 12),        # ldh ethertype
+            ins(0x15, 0, 7, 0x0800),    # jeq IPv4
+            ins(0x30, 0, 0, 23),        # ldb ip proto
+            ins(0x15, 0, 5, 17),        # jeq UDP
+            ins(0x28, 0, 0, 20),        # ldh frag field
+            ins(0x45, 3, 0, 0x1FFF),    # jset frag-offset -> drop
+            ins(0xB1, 0, 0, 14),        # ldxb 4*([14]&0xf)
+            ins(0x48, 0, 0, 16),        # ldh [x+16] = udp dst port
+            ins(0x15, 0, 1, port),      # jeq port
+            ins(0x06, 0, 0, 0x40000),   # ret keep
+            ins(0x06, 0, 0, 0),         # ret drop
+        ])
+        buf = ctypes.create_string_buffer(prog)
+        fprog = struct.pack("HL", len(prog) // 8,
+                            ctypes.addressof(buf))
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, 26, fprog)  # ATTACH_FILTER
+        except OSError:
+            pass                       # helper-side checks still filter
+
+    def poll(self, max_frames: int = 256) -> list:
+        done = []
+        if self._lib is not None:
+            import ctypes
+            nb = min(max_frames, self.batch)
+            bad = ctypes.c_uint64(0)
+            got = self._lib.raw_drain(
+                self.sock.fileno(),
+                self._scratch.ctypes.data_as(ctypes.c_void_p),
+                C.VDIF_FRAME_BYTES, self.port, nb, 200, ctypes.byref(bad))
+            self.asm.stats.anomalous += bad.value
+            if got > 0:
+                done.extend(self.asm.feed_stream(
+                    self._scratch[:got * C.VDIF_FRAME_BYTES]))
+        else:
+            # portable fallback: per-packet recv + header strip in Python
+            ov = self.WIRE_OVERHEAD
+            for _ in range(max_frames):
+                try:
+                    pkt, addr = self.sock.recvfrom(
+                        ov + C.VDIF_FRAME_BYTES + 64)
+                except socket.timeout:
+                    break
+                if len(addr) > 2 and addr[2] == socket.PACKET_OUTGOING:
+                    continue
+                if len(pkt) < ov or pkt[12:14] != b"\x08\x00" or \
+                        pkt[14] != 0x45 or pkt[23] != 17:
+                    continue                      # not our encapsulation
+                dport = (pkt[36] << 8) | pkt[37]
+                if self.port and dport != self.port:
+                    continue
+                if len(pkt) != ov + C.VDIF_FRAME_BYTES:
+                    self.asm.stats.anomalous += 1
+                    continue
+                done.extend(self.asm.feed_stream(
+                    np.frombuffer(pkt[ov:], np.uint8)))
+        return [(to_unix(s, self.asm.ref_epoch), b) for s, b in done]
+
+    def close(self):
+        self.sock.close()
+
+
+def open_capture(source: str, sample_rate: int = C.VLITE_RATE,
+                 batch: int = 256, wallclock_check: bool = False):
+    """Transport switch for live station sources (AntennaConfig.source):
+    'udp:PORT' (portable datagram socket) or 'raw:IFACE:PORT' (AF_PACKET,
+    the reference's production transport — ref src/utils.c:345-407)."""
+    kind, _, rest = source.partition(":")
+    if kind == "udp":
+        return UDPCapture(port=int(rest), sample_rate=sample_rate,
+                          batch=batch, wallclock_check=wallclock_check)
+    if kind == "raw":
+        iface, _, port = rest.partition(":")
+        return RawCapture(iface=iface or "lo", port=int(port or 0),
+                          sample_rate=sample_rate, batch=batch,
+                          wallclock_check=wallclock_check)
+    raise ValueError(f"unknown live capture source {source!r} "
+                     "(expected udp:PORT or raw:IFACE:PORT)")

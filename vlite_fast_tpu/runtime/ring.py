@@ -81,6 +81,11 @@ def get_lib() -> ctypes.CDLL:
                               ctypes.c_uint64, ctypes.c_uint64,
                               ctypes.c_int,
                               ctypes.POINTER(ctypes.c_uint64)]
+    lib.raw_drain.restype = ctypes.c_int64
+    lib.raw_drain.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                              ctypes.c_uint64, ctypes.c_uint16,
+                              ctypes.c_uint64, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_uint64)]
     lib.rb_set_obs_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.rb_get_obs_header.restype = ctypes.c_uint64
     lib.rb_get_obs_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p,

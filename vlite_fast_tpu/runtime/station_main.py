@@ -147,7 +147,8 @@ class StationDaemon:
     def serve(self, source: str, poll_s: float = 0.1,
               max_observations: Optional[int] = None):
         """Main loop: wait for START, run the observation from `source`
-        ('udp:PORT' or 'file:PATH'), repeat until QUIT."""
+        ('udp:PORT', 'raw:IFACE:PORT' or 'file:PATH'), repeat until
+        QUIT."""
         nobs = 0
         try:
             while not self._stop.is_set():
@@ -171,7 +172,7 @@ class StationDaemon:
                         source[5:],
                         sample_rate=self.pipeline.cfg.sample_rate))
                 else:
-                    secs = self._udp_seconds(int(source.split(":")[1]))
+                    secs = self._live_seconds(source)
                 self.run_observation(secs, od)
                 nobs += 1
                 if max_observations and nobs >= max_observations:
@@ -182,10 +183,12 @@ class StationDaemon:
             # /vfast_bb_NN segment wedges the next daemon on this host
             self.shutdown()
 
-    def _udp_seconds(self, port: int):
-        udp = cap.UDPCapture(port=port,
-                             sample_rate=self.pipeline.cfg.sample_rate,
-                             wallclock_check=True)
+    def _live_seconds(self, source: str):
+        """Live second stream from 'udp:PORT' or 'raw:IFACE:PORT' (the
+        transport switch — ref src/utils.c:345-407 raw vs test UDP)."""
+        udp = cap.open_capture(source,
+                               sample_rate=self.pipeline.cfg.sample_rate,
+                               wallclock_check=True)
         try:
             idle = 0
             while not self._stop.is_set():
