@@ -162,6 +162,27 @@ def main():
     _ = np.asarray(st2.bp_kur)
     dsp_rt_gated = 10 / (time.perf_counter() - t0)
 
+    # ON-TPU A/B assertion (ADVICE r3 #2): both loops ran the identical
+    # un-armed input sequence, so the injection-armed program and its
+    # injection-free twin must agree BYTE-exactly on the packed output —
+    # the invariant StationPipeline's host gating relies on.  Compared on
+    # device; only the verdict bit crosses the tunnel.
+    twin_parity = bool(jnp.all(out.packed_kur == out2.packed_kur)) and \
+        bool(jnp.all(st.bp_kur == st2.bp_kur))
+    if not twin_parity:
+        raise AssertionError(
+            "injection-armed program and injection-free twin diverged on "
+            "packed bytes — host gating (pipeline.feed_second) is unsound")
+
+    # blended steady-state rate (VERDICT r4 #9): the armed (slower)
+    # program runs inject_window_seconds of every INJECT_PERIOD_S; a
+    # production margin calculation needs the weighted harmonic blend,
+    # not the injection-free headline alone
+    from vlite_fast_tpu import constants as Cst
+    f_armed = dsp.inject_window_seconds(cfg) / Cst.INJECT_PERIOD_S
+    dsp_rt_blended = 1.0 / (f_armed / dsp_rt
+                            + (1.0 - f_armed) / dsp_rt_gated)
+
     # --- utilization grounding (VERDICT r2 #9): measured FLOP/s and HBM
     # GB/s against the v5e peaks, so the RT factors map to hardware ----
     from vlite_fast_tpu.utils import perf
@@ -202,6 +223,19 @@ def main():
         pipe.feed_second(1.7e9 + s, staged[s % 3])
     pipe.end_observation()
 
+    # count gulps searched during the timed window (needed to derive the
+    # tol-grid integrated number by search-cost substitution below)
+    n_gulps = 0
+
+    def _counted(orig):
+        def f(*a, **k):
+            nonlocal n_gulps
+            n_gulps += 1
+            return orig(*a, **k)
+        return f
+    pipe.search.search_gulp_device = _counted(pipe.search.search_gulp_device)
+    pipe.search.search_gulp_packed = _counted(pipe.search.search_gulp_packed)
+
     pipe.begin_observation(od, write_fil=False)
     feed_times = {}
     cand_latency_wall = None
@@ -227,6 +261,35 @@ def main():
     integrated_rt = n_sec / wall
     pipe.close()
 
+    # --- PRODUCTION tol-grid integrated number (VERDICT r4 #5): time the
+    # full device gulp program (dequantize -> Pallas dedisp -> boxcar ->
+    # banded top-k -> host decode) on the heimdall -dm_tol grid (~4.9k
+    # trials, the production default) and on the linear 1024-trial grid,
+    # then substitute the per-gulp cost difference into the measured
+    # integrated wall time.  Guarded: a tol-grid failure (compile/HBM)
+    # must not void the headline.
+    gulp_lin_s = gulp_tol_s = value_tolgrid = tol_trials = None
+    try:
+        def time_gulp(sps):
+            eng_g = search_mod.SinglePulseSearch(sps, cfg.tsamp,
+                                                 cfg.freqs_mhz())
+            nbytes = cfg.npol_out * cfg.nchanout * cfg.nbit // 8
+            full_g = sps.gulp_samps + eng_g.overlap
+            pk = jax.device_put(rng.integers(
+                0, 256, (full_g, nbytes), dtype=np.uint8), dev)
+            eng_g.search_gulp_device(pk, cfg.nbit, 0, sps.gulp_samps)
+            t = time.perf_counter()
+            for _i in range(3):
+                eng_g.search_gulp_device(pk, cfg.nbit, 0, sps.gulp_samps)
+            return (time.perf_counter() - t) / 3, len(eng_g.dms)
+        gulp_lin_s, _ = time_gulp(scfg)
+        scfg_tol = SearchConfig()           # production default: tol grid
+        gulp_tol_s, tol_trials = time_gulp(scfg_tol)
+        value_tolgrid = n_sec / (wall + n_gulps * (gulp_tol_s - gulp_lin_s))
+    except Exception as exc:
+        print(f"bench: tol-grid timing failed ({exc!r}); reporting the "
+              "linear headline only", file=sys.stderr)
+
     print(json.dumps({
         "metric": "measured full-stack antennas/chip (StationPipeline: "
                   "DSP + drain + Pallas dedisp search + candidates, "
@@ -236,6 +299,14 @@ def main():
         "vs_baseline": round(integrated_rt, 3),
         "dsp_only_rt_factor": round(dsp_rt, 3),
         "dsp_only_rt_factor_gated": round(dsp_rt_gated, 3),
+        "dsp_only_rt_factor_blended": round(dsp_rt_blended, 3),
+        "twin_byte_parity": twin_parity,
+        "value_tolgrid": None if value_tolgrid is None
+        else round(value_tolgrid, 3),
+        "tolgrid_trials": tol_trials,
+        "gulp_lin_s": None if gulp_lin_s is None else round(gulp_lin_s, 4),
+        "gulp_tol_s": None if gulp_tol_s is None else round(gulp_tol_s, 4),
+        "gulps_searched": n_gulps,
         "seconds_processed": n_sec,
         "wall_s": round(wall, 3),
         "candidates": len(prod.candidates),
