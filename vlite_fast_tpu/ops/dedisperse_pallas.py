@@ -126,12 +126,14 @@ def _stage2_kernel(subd_ref, y_ref, out_ref, *, nrout: int, per_batch: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ntime_out", "sub_chunk"))
-def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
-                      sub_chunk: int = 16) -> jax.Array:
-    """fb: (ntime, nchan) float32, ntime >= ntime_out + plan.max_delay.
-    Returns (ndm, ntime_out) float32 DM-time plane (channel-summed,
-    zapped channels excluded), identical in semantics to
-    ops.dedisperse.dedisperse.
+def dedisperse_pallas_rollsel(fb: jax.Array, plan: DedispPlan,
+                              ntime_out: int,
+                              sub_chunk: int = 16) -> jax.Array:
+    """The round-3 roll+select engine (kept for A/B; see dedisperse_pallas
+    for the current default).  fb: (ntime, nchan) float32, ntime >=
+    ntime_out + plan.max_delay.  Returns (ndm, ntime_out) float32 DM-time
+    plane (channel-summed, zapped channels excluded), identical in
+    semantics to ops.dedisperse.dedisperse.
     """
     ntime, nchan = fb.shape
     nsub = plan.nsub
@@ -200,6 +202,188 @@ def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
 
     subd_k = out.reshape(ndm, nrout * LANE)[:, :ntime_out]
     return subd_k
+
+
+# ---------------------------------------------------------------------------
+# Lane-major overlapped-fold engine (round 5): shifts become plain
+# dynamic-row reads
+# ---------------------------------------------------------------------------
+#
+# The roll+select engine above is VPU-bound at ~5 vector ops per
+# accumulated element (read + lane-roll + compare + select + add; the
+# measured 0.120 s production gulp sits at ~100% of the VPU's add issue
+# rate, 6% of HBM).  The fix is a LAYOUT change, not a schedule change:
+#
+#   fold time LANE-MAJOR with overlap.  Column l of the fold holds the
+#   CONTIGUOUS sample range [l*C, l*C + C + margin): X[i, l] =
+#   x_flat[l*C + i].  A shift by d <= margin is then X[d : d + C, :] —
+#   ONE dynamic sublane-offset read, no roll, no select, no mask.
+#
+# Stage 1 (in-subband shifts, rel <= rel_delays_max ~ 52 at production)
+# drops from ~5 ops to ~2 per accumulated element.  Stage 2's shifts
+# (up to max_sub_delay ~ 6600) exceed any affordable margin, so its
+# funnel becomes Q = D // C lane-roll + R = D %% C row-offset read; the
+# row read would overrun the C-row column, so stage 1 writes each
+# column EXTENDED with the head of the next column (rows [C, 2C-1) of
+# lane l duplicate rows [0, C-1) of lane l+1) — the same overlap trick
+# applied to its own output, trading 2x stage-1 output HBM (cheap, 6%
+# HBM util) for a select-free 3-op stage-2 funnel.
+#
+# BYTE-IDENTICAL to the roll+select engine: every output element is the
+# sum of exactly the same f32 values in exactly the same order — only
+# the residence of each value moved.  (tests/test_dedisperse.py asserts
+# exact equality on CPU interpret; benchmarks/bench_ddp_tpu.py A/Bs the
+# engines on chip.)
+#
+# Ref role: heimdall/dedisp (scripts/start_heimdall_single_antenna:21).
+
+
+def _stage1_fold_kernel(rel_ref, fb_ref, y_ref, *, ncol: int):
+    """One (subband, DM-batch) cell in the lane-major fold.
+
+    rel_ref: (1, 1, 1, w) SMEM int32 in-subband delays;
+    fb_ref: (w, ncol + margin, LANE) VMEM lane-major overlapped fold;
+    y_ref: (1, 1, 2*ncol - 1, LANE) VMEM — rows [0, ncol) are the
+    subband's dedispersed series (column l = samples [l*ncol, ...)),
+    rows [ncol, 2*ncol-1) the next-column overlap duplicate.
+    """
+    w = fb_ref.shape[0]
+
+    def body(ch, acc):
+        d = rel_ref[0, 0, 0, ch]
+        return acc + fb_ref[pl.ds(ch, 1), pl.ds(d, ncol), :][0]
+
+    acc = jax.lax.fori_loop(0, w, body,
+                            jnp.zeros((ncol, LANE), jnp.float32))
+    y_ref[0, 0, :ncol] = acc
+    # overlap extension: rows [0, ncol-1) of the NEXT lane column.
+    # (lane 127's extension wraps to lane 0 — garbage, but only reads
+    # past the valid flat range ever see it, and those outputs are
+    # discarded by the final [:ntime_out] slice.)  ncol == 1 has no
+    # extension rows (static geometry branch).
+    if ncol > 1:
+        y_ref[0, 0, ncol:] = pltpu.roll(acc, LANE - 1, 1)[:ncol - 1]
+
+
+def _stage2_fold_kernel(subd_ref, y_ref, out_ref, *, ncol: int,
+                        per_batch: int, sc: int):
+    """One (DM-batch, subband-chunk) cell: accumulate this chunk's
+    subbands into the batch's per-DM output (lane-major fold).
+
+    subd_ref: (1, 1, per_batch, sc) SMEM int32; y_ref: (1, sc,
+    2*ncol - 1, LANE); out_ref: (1, per_batch, ncol, LANE) accumulated
+    in place across the sequential chunk grid axis.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def dm_body(dm, _):
+        def body(s, acc):
+            d = subd_ref[0, 0, dm, s]
+            q = d // ncol
+            r = d % ncol
+            blk = y_ref[0, pl.ds(s, 1), pl.ds(r, ncol), :][0]
+            return acc + pltpu.roll(blk, -q, 1)
+
+        acc = jax.lax.fori_loop(0, sc, body,
+                                jnp.zeros((ncol, LANE), jnp.float32))
+        cur = out_ref[0, pl.ds(dm, 1), :, :][0]
+        out_ref[0, pl.ds(dm, 1), :, :] = (cur + acc)[None]
+        return 0
+
+    jax.lax.fori_loop(0, per_batch, dm_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("ntime_out", "sub_chunk"))
+def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
+                      sub_chunk: int = 16) -> jax.Array:
+    """fb: (ntime, nchan) float32, ntime >= ntime_out + plan.max_delay.
+    Returns (ndm, ntime_out) float32 DM-time plane (channel-summed,
+    zapped channels excluded), identical in semantics (and bit-exact)
+    to ops.dedisperse.dedisperse / dedisperse_pallas_rollsel.
+
+    Production gulp (1024 DM x 4096 chan x 24 s): see module comment —
+    the lane-major fold takes the kernel from roll+select (~5 VPU ops
+    per accumulated element) to read+add (~2 stage 1, ~3 stage 2).
+    """
+    ntime, nchan = fb.shape
+    nsub = plan.nsub
+    w = nchan // nsub
+    nbatch = plan.rel_delays.shape[0]
+    ndm = plan.sub_delays.shape[0]
+    per_batch = ndm // nbatch
+
+    # column length: 128 columns must cover every read the valid outputs
+    # make (ntime_out + max_sub_delay samples of stage-1 series)
+    ncol = _cdiv(ntime_out + plan.max_sub_delay, LANE)
+    margin = int(plan.rel_delays_max)
+    ncol_in = ncol + margin
+
+    # ---- lane-major overlapped fold of the zapped filterbank ------------
+    # F[ch, i, l] = fbz[l*ncol + i, ch] for i in [0, ncol_in): column l
+    # carries its ncol samples PLUS the margin-sample head of the columns
+    # after it.  Built from m shifted reshapes (no gather): chunk j holds
+    # ft[(l+j)*ncol : (l+j+1)*ncol] for every l at once.
+    fbz = fb * plan.chan_weights[None, :]
+    m = _cdiv(ncol_in, ncol)
+    need = (LANE + m - 1) * ncol
+    if ntime < need:
+        fbz = jnp.pad(fbz, ((0, need - ntime), (0, 0)))
+    else:
+        fbz = fbz[:need]
+    ft = fbz.T                                   # (nchan, need)
+    chunks = [ft[:, j * ncol:(j + LANE) * ncol].reshape(nchan, LANE, ncol)
+              for j in range(m)]
+    fbf = jnp.concatenate(chunks, axis=2)[:, :, :ncol_in]
+    fbf = jnp.swapaxes(fbf, 1, 2)
+    # fbf: (nchan, ncol_in, LANE), one XLA relayout pass
+
+    rel = plan.rel_delays.reshape(nbatch, nsub, 1, w).astype(jnp.int32)
+    y = pl.pallas_call(
+        functools.partial(_stage1_fold_kernel, ncol=ncol),
+        grid=(nsub, nbatch),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, w), lambda s, b: (b, s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((w, ncol_in, LANE), lambda s, b: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2 * ncol - 1, LANE),
+                               lambda s, b: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nbatch, nsub, 2 * ncol - 1, LANE),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(rel, fbf)
+
+    sc = min(sub_chunk, nsub)
+    while nsub % sc:
+        sc -= 1
+    nsc = nsub // sc
+    subd = plan.sub_delays.reshape(nbatch, per_batch, nsub)
+    subd = jnp.swapaxes(subd.reshape(nbatch, per_batch, nsc, sc), 1, 2)
+
+    out = pl.pallas_call(
+        functools.partial(_stage2_fold_kernel, ncol=ncol,
+                          per_batch=per_batch, sc=sc),
+        grid=(nbatch, nsc),
+        in_specs=[
+            pl.BlockSpec((1, 1, per_batch, sc), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, sc, 2 * ncol - 1, LANE),
+                         lambda b, j: (b, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, per_batch, ncol, LANE),
+                               lambda b, j: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nbatch, per_batch, ncol, LANE),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(subd.astype(jnp.int32), y)
+
+    # refold lane-major -> flat time: dmt[dm, l*ncol + i] = out[dm, i, l]
+    dmt = jnp.swapaxes(out.reshape(ndm, ncol, LANE), 1, 2)
+    return dmt.reshape(ndm, ncol * LANE)[:, :ntime_out]
 
 
 def max_vmem_bytes(plan: DedispPlan, nchan: int, ntime_out: int,
