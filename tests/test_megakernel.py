@@ -1,0 +1,148 @@
+"""Megakernel parity tests (CPU interpret mode).
+
+The megakernel is the VMEM-resident form of the whole per-segment chain
+(ref src/process_baseband.cu:1108-1360 as one launch; see
+ops/megakernel.py).  Parity here is against (a) an explicit
+bf16-emulation oracle (same math, plain jnp — proves the kernel's
+layout/roll/packing plumbing) and (b) the production XLA chain (f32 on
+CPU — proves end-to-end 2-bit packed agreement, the acceptance bar of
+docs/megakernel_plan.md).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vlite_fast_tpu.config import PipelineConfig
+from vlite_fast_tpu.models import baseband_dsp as bdsp
+from vlite_fast_tpu.ops import megakernel as mk
+from vlite_fast_tpu.ops import quantize as q_ops
+
+# tiny geometry: nfft=2048 -> CT split 32x64 (n1 % 4 == 0 so the packed
+# byte rows are whole), 16 ffts/segment, 2-bit, trim exercises the
+# chanmin % 4 != 0 realignment path
+NFFT = 2048
+FFTS = 16
+NSEG = 3
+SEG_SAMPS = NFFT * FFTS
+
+
+def _cfg(**kw):
+    return PipelineConfig(
+        sample_rate=SEG_SAMPS * NSEG, seg_per_sec=NSEG, nfft=NFFT,
+        nkurto=256, chanmin=101, chanmax=612, nscrunch=8,
+        rfi_mode=0, ema_impl="scan", dft_exact_input=True, **kw)
+
+
+def _raw(cfg, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 256, size=(2, cfg.sample_rate),
+                        dtype=np.uint8)
+
+
+def test_stageA_power_matches_oracle():
+    cfg = _cfg()
+    raw = _raw(cfg)
+    p = np.asarray(mk.dft_detect_power(jnp.asarray(raw), NFFT, 2, NSEG))
+    o = mk.dft_detect_oracle(raw, NFFT, 2, NSEG)
+    assert p.shape == o.shape
+    rel = np.abs(p - o) / np.maximum(np.abs(o), 1e-3)
+    assert rel.max() < 2e-3
+
+
+def test_stageA_power_matches_chain_layout():
+    """Factored (k2, k1) planes refold to the chain's linear channels."""
+    from vlite_fast_tpu.ops import channelize as ch_ops
+    from vlite_fast_tpu.ops import normalize as norm_ops
+    from vlite_fast_tpu.ops import unpack as unpack_ops
+    cfg = _cfg()
+    raw = _raw(cfg)
+    p = np.asarray(mk.dft_detect_power(jnp.asarray(raw), NFFT, 2, NSEG))
+    x = unpack_ops.convert_uint8(jnp.asarray(raw[:, :SEG_SAMPS]))
+    spec = ch_ops.channelize(x, NFFT, method="matmul", precision="high",
+                             exact_bf16_input=True)
+    pw = np.asarray(norm_ops.detect(spec)).reshape(2 * FFTS, -1)
+    n1, n2 = ch_ops._ct_split(NFFT)
+    n2o = NFFT // 2 // n1 + 1
+    kz = p[0][:, :n2o, :n1].reshape(2 * FFTS, -1)[:, :NFFT // 2 + 1]
+    rel = np.abs(kz - pw) / np.maximum(np.abs(pw), 1e-2)
+    assert rel.max() < 5e-3          # bf16 kernel vs f32 CPU chain
+
+
+def test_stageB_packed_agreement_and_bp_carry():
+    cfg = _cfg()
+    raw = _raw(cfg)
+    st = bdsp.init_state(cfg)
+    outs = []
+    for s in range(NSEG):
+        seg = jnp.asarray(raw[:, s * SEG_SAMPS:(s + 1) * SEG_SAMPS])
+        o, st = bdsp.process_segment(cfg, seg, st)
+        outs.append(np.asarray(o.packed))
+    chain_packed = np.concatenate(outs, axis=0)
+
+    bp0 = mk.bp_to_factored(jnp.zeros((2, cfg.nchan), jnp.float32), NFFT)
+    planes, bp_new = mk.chain_second_plain(
+        jnp.asarray(raw), bp0, NFFT, 2, NSEG, cfg.nscrunch,
+        float(cfg.bp_scale))
+    got = np.asarray(mk.unfactor_pack_realign(
+        planes, NFFT, cfg.chanmin, cfg.chanmax))
+    assert got.shape == chain_packed.shape
+    lev_c = np.asarray(q_ops.unpack_bits(jnp.asarray(chain_packed), 2))
+    lev_m = np.asarray(q_ops.unpack_bits(jnp.asarray(got), 2))
+    assert (lev_c == lev_m).mean() > 0.9999
+
+    bp_lin = np.asarray(mk.bp_from_factored(bp_new, NFFT, cfg.nchan))
+    ref_bp = np.asarray(st.bp)
+    rel = np.abs(bp_lin - ref_bp) / np.maximum(np.abs(ref_bp), 1e-6)
+    assert rel.max() < 1e-4
+
+
+def test_stageB_bp_carry_across_calls():
+    """Second call re-uses the carried bandpass (no re-seeding)."""
+    cfg = _cfg()
+    raw = _raw(cfg, seed=11)
+    raw2 = _raw(cfg, seed=12)
+    st = bdsp.init_state(cfg)
+    chain = []
+    for r in (raw, raw2):
+        for s in range(NSEG):
+            seg = jnp.asarray(r[:, s * SEG_SAMPS:(s + 1) * SEG_SAMPS])
+            o, st = bdsp.process_segment(cfg, seg, st)
+            chain.append(np.asarray(o.packed))
+    chain_packed = np.concatenate(chain, axis=0)
+
+    bp = mk.bp_to_factored(jnp.zeros((2, cfg.nchan), jnp.float32), NFFT)
+    got = []
+    for r in (raw, raw2):
+        planes, bp = mk.chain_second_plain(
+            jnp.asarray(r), bp, NFFT, 2, NSEG, cfg.nscrunch,
+            float(cfg.bp_scale))
+        got.append(np.asarray(mk.unfactor_pack_realign(
+            planes, NFFT, cfg.chanmin, cfg.chanmax)))
+    got = np.concatenate(got, axis=0)
+    lev_c = np.asarray(q_ops.unpack_bits(jnp.asarray(chain_packed), 2))
+    lev_m = np.asarray(q_ops.unpack_bits(jnp.asarray(got), 2))
+    assert (lev_c == lev_m).mean() > 0.9999
+
+
+def test_unfactor_realign_aligned_case():
+    """chanmin % 4 == 0 takes the pure-slice path."""
+    cfg = _cfg()
+    raw = _raw(cfg, seed=7)
+    cfg4 = PipelineConfig(
+        sample_rate=SEG_SAMPS * NSEG, seg_per_sec=NSEG, nfft=NFFT,
+        nkurto=256, chanmin=100, chanmax=611, nscrunch=8,
+        rfi_mode=0, ema_impl="scan", dft_exact_input=True)
+    st = bdsp.init_state(cfg4)
+    seg = jnp.asarray(raw[:, :SEG_SAMPS])
+    o, st = bdsp.process_segment(cfg4, seg, st)
+    bp0 = mk.bp_to_factored(jnp.zeros((2, cfg4.nchan), jnp.float32), NFFT)
+    planes, _ = mk.chain_second_plain(
+        jnp.asarray(raw[:, :SEG_SAMPS]), bp0, NFFT, 2, 1, cfg4.nscrunch,
+        float(cfg4.bp_scale))
+    got = np.asarray(mk.unfactor_pack_realign(
+        planes, NFFT, cfg4.chanmin, cfg4.chanmax))
+    lev_c = np.asarray(q_ops.unpack_bits(jnp.asarray(np.asarray(o.packed)), 2))
+    lev_m = np.asarray(q_ops.unpack_bits(jnp.asarray(got), 2))
+    assert (lev_c == lev_m).mean() > 0.9999

@@ -266,15 +266,15 @@ def _stage1_fold_kernel(rel_ref, fb_ref, y_ref, *, ncol: int):
 
 
 def _stage2_fold_kernel(subd_ref, y_ref, out_ref, *, ncol: int,
-                        per_batch: int, sc: int):
-    """One (DM-batch, subband-chunk) cell: accumulate this chunk's
-    subbands into the batch's per-DM output (lane-major fold).
+                        pbc: int, sc: int):
+    """One (DM-batch, DM-chunk, subband-chunk) cell: accumulate this
+    chunk's subbands into pbc DM trials' output (lane-major fold).
 
-    subd_ref: (1, 1, per_batch, sc) SMEM int32; y_ref: (1, sc,
-    2*ncol - 1, LANE); out_ref: (1, per_batch, ncol, LANE) accumulated
-    in place across the sequential chunk grid axis.
+    subd_ref: (1, 1, 1, pbc, sc) SMEM int32; y_ref: (1, sc,
+    2*ncol - 1, LANE); out_ref: (1, pbc, ncol, LANE) accumulated in
+    place across the sequential subband-chunk grid axis (innermost).
     """
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -282,7 +282,7 @@ def _stage2_fold_kernel(subd_ref, y_ref, out_ref, *, ncol: int,
 
     def dm_body(dm, _):
         def body(s, acc):
-            d = subd_ref[0, 0, dm, s]
+            d = subd_ref[0, 0, 0, dm, s]
             q = d // ncol
             r = d % ncol
             blk = y_ref[0, pl.ds(s, 1), pl.ds(r, ncol), :][0]
@@ -294,7 +294,39 @@ def _stage2_fold_kernel(subd_ref, y_ref, out_ref, *, ncol: int,
         out_ref[0, pl.ds(dm, 1), :, :] = (cur + acc)[None]
         return 0
 
-    jax.lax.fori_loop(0, per_batch, dm_body, 0)
+    jax.lax.fori_loop(0, pbc, dm_body, 0)
+
+
+def _divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (>= 1)."""
+    d = min(cap, n)
+    while n % d:
+        d -= 1
+    return d
+
+
+# Scoped-VMEM budget for the stage-2 fold blocks.  XLA's scoped-vmem
+# limit is 16 MB; the y input and out blocks are double-buffered and
+# the kernel body holds an (ncol, LANE) accumulator plus rolls — leave
+# headroom.  At production-linear geometry (ncol 328, per_batch 8) the
+# proven-fast sc=16 / unchunked-out config costs ~13.4 MB and stays
+# selected; the tol-grid geometry (ncol 332, per_batch 38) exceeded
+# the limit at 22.8 MB and now splits to pbc=19, sc=8.
+_S2_VMEM_BUDGET = 13_800_000
+
+
+def _stage2_fold_tiles(ncol: int, per_batch: int, nsub: int,
+                       sub_chunk: int) -> tuple[int, int]:
+    """(pbc, sc): DM-trial and subband chunk sizes fitting the budget."""
+    out_cost = lambda p: 2 * p * ncol * LANE * 4
+    y_cost = lambda s: 2 * s * (2 * ncol - 1) * LANE * 4
+    pbc = per_batch
+    while pbc > 1 and out_cost(pbc) > _S2_VMEM_BUDGET // 2:
+        pbc = _divisor_leq(per_batch, pbc - 1)
+    sc = _divisor_leq(nsub, min(sub_chunk, nsub))
+    while sc > 1 and y_cost(sc) > _S2_VMEM_BUDGET - out_cost(pbc):
+        sc = _divisor_leq(nsub, sc - 1)
+    return pbc, sc
 
 
 @functools.partial(jax.jit, static_argnames=("ntime_out", "sub_chunk"))
@@ -357,26 +389,25 @@ def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
         interpret=_interpret(),
     )(rel, fbf)
 
-    sc = min(sub_chunk, nsub)
-    while nsub % sc:
-        sc -= 1
+    pbc, sc = _stage2_fold_tiles(ncol, per_batch, nsub, sub_chunk)
     nsc = nsub // sc
-    subd = plan.sub_delays.reshape(nbatch, per_batch, nsub)
-    subd = jnp.swapaxes(subd.reshape(nbatch, per_batch, nsc, sc), 1, 2)
+    npbc = per_batch // pbc
+    subd = plan.sub_delays.reshape(nbatch, npbc, pbc, nsc, sc)
+    subd = jnp.transpose(subd, (0, 1, 3, 2, 4))
 
     out = pl.pallas_call(
-        functools.partial(_stage2_fold_kernel, ncol=ncol,
-                          per_batch=per_batch, sc=sc),
-        grid=(nbatch, nsc),
+        functools.partial(_stage2_fold_kernel, ncol=ncol, pbc=pbc, sc=sc),
+        grid=(nbatch, npbc, nsc),
         in_specs=[
-            pl.BlockSpec((1, 1, per_batch, sc), lambda b, j: (b, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, pbc, sc),
+                         lambda b, k, j: (b, k, j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, sc, 2 * ncol - 1, LANE),
-                         lambda b, j: (b, j, 0, 0)),
+                         lambda b, k, j: (b, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, per_batch, ncol, LANE),
-                               lambda b, j: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nbatch, per_batch, ncol, LANE),
+        out_specs=pl.BlockSpec((1, pbc, ncol, LANE),
+                               lambda b, k, j: (b * npbc + k, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nbatch * npbc, pbc, ncol, LANE),
                                        jnp.float32),
         interpret=_interpret(),
     )(subd.astype(jnp.int32), y)
@@ -396,12 +427,13 @@ def max_vmem_bytes(plan: DedispPlan, nchan: int, ntime_out: int,
     nrout = _cdiv(ntime_out, LANE)
     nr1 = nrout + plan.max_sub_delay // LANE + 1
     nrin = nr1 + plan.rel_delays_max // LANE + 1
-    sc = min(sub_chunk, nsub)
-    while nsub % sc:
-        sc -= 1
+    ncol = _cdiv(ntime_out + plan.max_sub_delay, LANE)
+    pbc, sc = _stage2_fold_tiles(ncol, per_batch, nsub, sub_chunk)
     return {
         "stage1_fb_block": w * nrin * LANE * 4,
         "stage1_y_block": nr1 * LANE * 4,
         "stage2_y_block": sc * nr1 * LANE * 4,
-        "stage2_out_block": per_batch * nrout * LANE * 4,
+        "stage2_out_block": pbc * nrout * LANE * 4,
+        "stage2_pbc": pbc,
+        "stage2_sc": sc,
     }

@@ -1,0 +1,561 @@
+"""Full-chain Pallas megakernel for the per-antenna DSP hot loop.
+
+The XLA chain (models/baseband_dsp.process_second) runs at ~7% MXU and
+~13% HBM utilization: its cost is materialized intermediates between
+XLA fusions (docs/megakernel_plan.md).  This kernel keeps every
+intermediate of a 3.125 ms segment in VMEM: the raw uint8 block is read
+once from HBM and only the packed 2-bit bytes (plus stats) are written.
+
+Mirrors the role of the reference GPU hot loop — the whole segment
+dispatch of process_baseband (ref src/process_baseband.cu:1108-1360:
+convertarray -> kurtosis -> cufft R2C -> detect_and_normalize ->
+pscrunch -> tscrunch -> sel_and_dig as back-to-back kernel launches) —
+as ONE launch per second with the segment loop as the Pallas grid.
+
+Layout design (the part that makes it a TPU program, not a port):
+
+  The Cooley-Tukey rfft (nfft = n1*n2 = 100*125, ops/channelize.py)
+  contracts m1 in stage 1 and m2 in stage 2 — on the MXU both must be
+  (..., 128) @ (128, ...) dots.  The input is delivered pre-transposed
+  (one XLA uint8 pass per second, ~4x cheaper than any f32 relayout) as
+
+      X[(b, m2), m1]   b = pol*ffts_per_seg + t,  (8192, 128) u8/seg
+                       m1 padded 100->128 on lanes,
+                       m2 padded 125->128 on sublanes (whole b-blocks
+                       of 128 sublanes -> every per-b slice is
+                       tile-aligned)
+
+  * stage 1 (contract m1) is ONE (8192,128)@(128,128) dot per bf16
+    pass — M=8192 keeps the MXU pipeline full;
+  * the twiddle is elementwise against (8192,128) constant planes
+    (tw tiled across b), no layout change;
+  * stage 2 (contract m2) runs per b-block on the tile-aligned
+    (128,128) sublane slice, with w2's real and imag columns PACKED
+    side-by-side in one (128,128) matrix so each bf16 pass computes
+    both products in one full-tile MXU op; pr/pi land in sublane
+    halves and the detect folds them with one sublane roll:
+        Z = (D_br + sgn * roll(D_bi, 64))^2 ;  P = Z[:64] + Z[64:]
+  * the power plane comes out FACTORED as (k2, k1) — which IS linear
+    channel order (k = k1 + n1*k2, n1 % 4 == 0), so the 2-bit pack is
+    a lane-group matmul and no unfactoring relayout ever happens.
+
+Precision matches the chain default dft_precision='high' with
+dft_exact_input semantics: stage 1 = two bf16 passes against a hi/lo
+split of the DFT matrix (voltages k/128 are exactly bf16-representable,
+ref ops/channelize.matmul_rfft_framed), stage 2 = standard bf16x3
+(hi*hi + hi*lo + lo*hi).  Accumulation order differs from XLA's, so
+parity is the 2-bit packed-agreement bar (>= 99.99%), asserted on chip.
+
+Stage A (this file's first landing): stage1 + twiddle + stage2 + detect
+for one stream, power planes out — parity-tested against an explicit
+bf16-emulation oracle on CPU interpret, timed on chip for GO/NO-GO.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlite_fast_tpu.ops import channelize as ch_ops
+
+LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class DFTPlanes(NamedTuple):
+    """Constant matrices, padded to the kernel's 128-lane layout."""
+
+    w1r_hi: np.ndarray   # (128, 128) stage-1 real plane, bf16-hi part
+    w1r_lo: np.ndarray
+    w1i_hi: np.ndarray
+    w1i_lo: np.ndarray
+    twr: np.ndarray      # (nb*128, 128) twiddle planes tiled across b
+    twi: np.ndarray
+    w2c_hi: np.ndarray   # (128, 128) [w2r | w2i] packed column halves
+    w2c_lo: np.ndarray
+    n1: int
+    n2: int
+    n2_out: int
+    nb: int              # b = npol * ffts_per_seg
+
+
+def _hi_lo(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    hi = m.astype(jnp.bfloat16).astype(np.float32)
+    lo = (m - hi).astype(jnp.bfloat16).astype(np.float32)
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=4)
+def dft_planes(nfft: int, nb: int) -> DFTPlanes:
+    """Build the padded constant planes for nfft = n1*n2, nb b-blocks."""
+    n1, n2 = ch_ops._ct_split(nfft)
+    if n1 > LANE or n2 > LANE:
+        raise ValueError(f"CT factors {n1}x{n2} exceed one lane tile")
+    w1, tw, w2 = ch_ops._ct_tables(nfft)
+    n2_out = nfft // 2 // n1 + 1
+    if 2 * n2_out > LANE:
+        raise ValueError(f"2*n2_out={2*n2_out} exceeds the packed w2 tile")
+
+    # stage 1: X[(b,m2), m1] @ W1[m1, k1] — pad m1 rows and k1 cols
+    w1p = np.zeros((LANE, LANE), np.complex64)
+    w1p[:n1, :n1] = w1.T            # W1[m1, k1] = w1[k1, m1] (symmetric,
+    #                                 but keep the explicit transpose)
+    w1r_hi, w1r_lo = _hi_lo(w1p.real.astype(np.float32))
+    w1i_hi, w1i_lo = _hi_lo(w1p.imag.astype(np.float32))
+
+    # twiddle planes: row (b*128 + m2), lane k1 -> tw[k1, m2]
+    twp = np.zeros((LANE, LANE), np.complex64)
+    twp[:n2, :n1] = tw.T            # [m2, k1]
+    twr = np.tile(twp.real.astype(np.float32), (nb, 1))
+    twi = np.tile(twp.imag.astype(np.float32), (nb, 1))
+
+    # stage 2: D[j, k1] = sum_m2 W2c[m2, j] B[m2, k1]; columns j<n2_out
+    # hold w2r[m2, k2], columns 64+k2 hold w2i[m2, k2]
+    w2s = w2[:, :n2_out]            # (n2, n2_out)
+    w2c = np.zeros((LANE, LANE), np.float32)
+    w2c[:n2, :n2_out] = w2s.real.astype(np.float32)
+    w2c[:n2, LANE // 2:LANE // 2 + n2_out] = w2s.imag.astype(np.float32)
+    w2c_hi, w2c_lo = _hi_lo(w2c)
+
+    return DFTPlanes(w1r_hi, w1r_lo, w1i_hi, w1i_lo, twr, twi,
+                     w2c_hi, w2c_lo, n1, n2, n2_out, nb)
+
+
+def pretranspose_u8(raw: jax.Array, nfft: int, npol: int,
+                    seg_per_sec: int) -> jax.Array:
+    """(npol, nsamp) uint8 -> (nseg, nb*128, 128) kernel-layout blocks.
+
+    One XLA uint8 transpose per call (the only whole-input relayout in
+    the megakernel path; u8 moves 4x less than the f32 relayouts the
+    XLA chain pays per segment).
+    """
+    n1, n2 = ch_ops._ct_split(nfft)
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    # frame sample n = m1*n2 + m2 (decimation in time, channelize.py)
+    f = raw.reshape(npol, seg_per_sec, ffts, n1, n2)
+    f = jnp.transpose(f, (1, 0, 2, 4, 3))      # (seg, pol, t, m2, m1)
+    f = jnp.pad(f, ((0, 0), (0, 0), (0, 0),
+                    (0, LANE - n2), (0, LANE - n1)))
+    return f.reshape(seg_per_sec, npol * ffts * LANE, LANE)
+
+
+def _b(v):
+    """Cast an MXU operand for one bf16 pass.  On CPU (interpret mode)
+    XLA has no bf16 x bf16 dot — round to bf16-representable values but
+    compute in f32: products are bit-identical (bf16 multiply of
+    bf16-representable values == f32 multiply) and accumulation is f32
+    on both backends."""
+    if _interpret():
+        return v.astype(jnp.bfloat16).astype(jnp.float32)
+    return v.astype(jnp.bfloat16)
+
+
+def _bdot(a, b):
+    """bf16-pass dot contracting a's dim1 with b's dim0, f32 out."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bdot00(a, b):
+    """bf16-pass dot contracting dim0 of BOTH operands, f32 out."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _split(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = _b(v - hi.astype(jnp.float32))
+    return _b(hi.astype(jnp.float32)), lo
+
+
+def _dft_detect_body(x, w1r_hi, w1r_lo, w1i_hi, w1i_lo, twr, twi,
+                     w2c_hi, w2c_lo, br_scr, bi_scr, emit, *, nb: int):
+    """Shared stage1+twiddle+stage2+detect body.
+
+    x: (nb*128, 128) f32 voltages in kernel layout.  Calls
+    emit(b, power) with power (128, 128): sublanes [0, 64) hold the
+    (k2, k1) plane (rows >= n2_out and lanes >= n1 are zero), sublane
+    half [64, 128) is garbage left from the fold and must be ignored.
+    """
+    xb = _b(x)
+    ar = _bdot(xb, w1r_hi) + _bdot(xb, w1r_lo)
+    ai = _bdot(xb, w1i_hi) + _bdot(xb, w1i_lo)
+    br_scr[...] = ar * twr - ai * twi
+    bi_scr[...] = ar * twi + ai * twr
+
+    sgn = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0) < LANE // 2,
+        jnp.float32(-1.0), jnp.float32(1.0))
+
+    def body(b, _):
+        bb_r = br_scr[pl.ds(b * LANE, LANE), :]
+        bb_i = bi_scr[pl.ds(b * LANE, LANE), :]
+        rh, rl = _split(bb_r)
+        ih, il = _split(bb_i)
+        dbr = (_bdot00(w2c_hi, rh) + _bdot00(w2c_hi, rl)
+               + _bdot00(w2c_lo, rh))
+        dbi = (_bdot00(w2c_hi, ih) + _bdot00(w2c_hi, il)
+               + _bdot00(w2c_lo, ih))
+        z = dbr + sgn * pltpu.roll(dbi, LANE // 2, 0)
+        z = z * z
+        emit(b, z + pltpu.roll(z, LANE // 2, 0))
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _stageA_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
+                   twr_ref, twi_ref, w2ch_ref, w2cl_ref, out_ref,
+                   br_scr, bi_scr, *, nb: int):
+    """One segment: u8 convert -> DFT -> detect, power planes out."""
+    ui = u_ref[0].astype(jnp.int32)
+    x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+    x = jnp.where(ui == 0, 0.0, x)
+
+    def emit(b, p):
+        out_ref[0, pl.ds(b, 1)] = p[None, :LANE // 2, :]
+
+    _dft_detect_body(
+        x, _b(w1rh_ref[...]), _b(w1rl_ref[...]),
+        _b(w1ih_ref[...]), _b(w1il_ref[...]),
+        twr_ref[...], twi_ref[...],
+        _b(w2ch_ref[...]), _b(w2cl_ref[...]),
+        br_scr, bi_scr, emit, nb=nb)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "npol",
+                                             "seg_per_sec"))
+def dft_detect_power(raw: jax.Array, nfft: int, npol: int,
+                     seg_per_sec: int) -> jax.Array:
+    """Stage-A entry: (npol, nsamp) uint8 -> (nseg, nb, 64, 128) f32
+    power planes, factored (k2, k1); linear channel k = k1 + n1*k2.
+
+    Oracle equivalent (up to f32 accumulation order):
+    norm_ops.detect(channelize(convert(raw), precision='high',
+    exact_bf16_input=True)) refactored to (k2, k1).
+    """
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    pl_ = dft_planes(nfft, nb)
+    xs = pretranspose_u8(raw, nfft, npol, seg_per_sec)
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_stageA_kernel, nb=nb),
+        grid=(seg_per_sec,),
+        in_specs=[
+            pl.BlockSpec((1, nb * LANE, LANE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+        ],
+        out_specs=pl.BlockSpec((1, nb, LANE // 2, LANE),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (seg_per_sec, nb, LANE // 2, LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nb * LANE, LANE), jnp.float32),
+                        pltpu.VMEM((nb * LANE, LANE), jnp.float32)],
+        interpret=_interpret(),
+    )(xs, *(jnp.asarray(p) for p in pl_[:8]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage B: EMA normalize + pscrunch + tscrunch + quantize + pack in VMEM
+# ---------------------------------------------------------------------------
+#
+# The back half of the chain (ops/normalize + ops/quantize; ref
+# src/pb_kernels.cu:393-735) runs on the power planes while they are
+# still in VMEM:
+#
+# * the EMA bandpass (one (64,128) factored plane per pol) is carried in
+#   scratch ACROSS grid steps (segments) — sequential-exact semantics,
+#   seeded per segment from the segment mean where bp==0, identical to
+#   the reference's per-chunk seeding (pb_kernels.cu:406-411);
+# * pscrunch and tscrunch happen in the same t loop (nested fori:
+#   out-sample x nscrunch), so no normalized plane is ever materialized;
+# * the 2-bit quantize is three compares; the byte PACK is one
+#   (64,128)@(128,32) dot against a constant 4^(k1%4) selector — exact
+#   in f32 (values <= 255) — emitting bytes STILL in the factored
+#   (k2, byte-in-row) layout.  unfactor_pack_realign() outside turns
+#   the (nout, 64, 32) planes into the chain's trimmed byte rows with
+#   two u8 shifts (chanmin % 4 realignment); it touches ~6 KB/segment.
+
+
+def _pack_matrix(n1: int, nbit: int = 2) -> np.ndarray:
+    """(128, 32) selector: column j sums lanes 4j..4j+3 scaled 4^(k%4)."""
+    per = 8 // nbit
+    m = np.zeros((LANE, 32), np.float32)
+    for k1 in range(n1):
+        m[k1, k1 // per] = float((1 << nbit) ** (k1 % per))
+    return m
+
+
+def _mk_stageB_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
+                      twr_ref, twi_ref, w2ch_ref, w2cl_ref, packm_ref,
+                      bp_in_ref, out_ref, bp_out_ref,
+                      br_scr, bi_scr, pwr_scr, bp_scr, *,
+                      nb: int, npol: int, nscrunch: int, nseg: int,
+                      scale: float, q0: float, q1: float, q2: float):
+    """One segment: convert -> DFT -> detect -> EMA -> pscrunch ->
+    tscrunch -> quantize -> pack, plain (unweighted) stream."""
+    i = pl.program_id(0)
+    tpp = nb // npol                       # spectra per pol per segment
+    nout = tpp // nscrunch
+
+    ui = u_ref[0].astype(jnp.int32)
+    x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+    x = jnp.where(ui == 0, 0.0, x)
+
+    def emit(b, p):
+        pwr_scr[pl.ds(b, 1)] = p[None, :LANE // 2, :]
+
+    _dft_detect_body(
+        x, _b(w1rh_ref[...]), _b(w1rl_ref[...]),
+        _b(w1ih_ref[...]), _b(w1il_ref[...]),
+        twr_ref[...], twi_ref[...],
+        _b(w2ch_ref[...]), _b(w2cl_ref[...]),
+        br_scr, bi_scr, emit, nb=nb)
+
+    # ---- EMA: seed where bp == 0 from this segment's per-pol mean ----
+    def seg_mean(p):
+        def body(t, acc):
+            return acc + pwr_scr[pl.ds(p * tpp + t, 1)][0]
+        s = jax.lax.fori_loop(0, tpp, body,
+                              jnp.zeros((LANE // 2, LANE), jnp.float32))
+        return s * (1.0 / tpp)
+
+    def bp_for(p):
+        carried = bp_scr[pl.ds(p, 1)][0]
+        fresh = bp_in_ref[pl.ds(p, 1)][0]
+        bp = jnp.where(i == 0, fresh, carried)
+        seed = seg_mean(p)
+        seed = jnp.where(seed == 0.0, 1.0, seed)
+        return jnp.where(bp == 0.0, seed, bp)
+
+    bp0 = bp_for(0)
+    bp1 = bp_for(1) if npol == 2 else bp0
+
+    rs = jnp.float32(1.0 / np.sqrt(nscrunch))
+    ps = jnp.float32(np.sqrt(0.5))
+
+    def out_body(o, carry):
+        b0, b1 = carry
+
+        def sub_body(t, c):
+            b0, b1, acc = c
+            tt = o * nscrunch + t
+            p0 = pwr_scr[pl.ds(tt, 1)][0]
+            b0n = scale * p0 + (1.0 - scale) * b0
+            v = p0 / b0n - 1.0
+            if npol == 2:
+                p1 = pwr_scr[pl.ds(tpp + tt, 1)][0]
+                b1n = scale * p1 + (1.0 - scale) * b1
+                v = ps * (v + (p1 / b1n - 1.0))
+            else:
+                b1n = b1
+            return b0n, b1n, acc + v
+
+        b0, b1, acc = jax.lax.fori_loop(
+            0, nscrunch, sub_body,
+            (b0, b1, jnp.zeros((LANE // 2, LANE), jnp.float32)))
+        ts = acc * rs
+        lev = ((ts >= q0).astype(jnp.float32)
+               + (ts >= q1).astype(jnp.float32)
+               + (ts >= q2).astype(jnp.float32))
+        packed = jax.lax.dot_general(
+            lev, packm_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(o, 1)] = packed[None]
+        return b0, b1
+
+    bp0, bp1 = jax.lax.fori_loop(0, nout, out_body, (bp0, bp1))
+    bp_scr[pl.ds(0, 1)] = bp0[None]
+    if npol == 2:
+        bp_scr[pl.ds(1, 1)] = bp1[None]
+
+    @pl.when(i == nseg - 1)
+    def _():
+        bp_out_ref[pl.ds(0, 1)] = bp0[None]
+        if npol == 2:
+            bp_out_ref[pl.ds(1, 1)] = bp1[None]
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "npol",
+                                             "seg_per_sec", "nscrunch",
+                                             "scale"))
+def chain_second_plain(raw: jax.Array, bp_fact: jax.Array, nfft: int,
+                       npol: int, seg_per_sec: int, nscrunch: int,
+                       scale: float) -> tuple[jax.Array, jax.Array]:
+    """Stage-B entry: one second, plain (rfi_mode=0-equivalent) stream.
+
+    raw: (npol, nsamp) uint8; bp_fact: (npol, 64, 128) FACTORED bandpass
+    carry (see bp_to_factored).  Returns (packed planes
+    (nseg, nout, 64, 32) f32 byte values, new bp_fact).
+    """
+    from vlite_fast_tpu import constants as C
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    nout = ffts // nscrunch
+    pl_ = dft_planes(nfft, nb)
+    packm = _pack_matrix(pl_.n1)
+    xs = pretranspose_u8(raw, nfft, npol, seg_per_sec)
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    q0, q1, q2 = C.QUANT2_THRESH
+    out, bp_new = pl.pallas_call(
+        functools.partial(
+            _mk_stageB_kernel, nb=nb, npol=npol, nscrunch=nscrunch,
+            nseg=seg_per_sec, scale=float(scale),
+            q0=float(q0), q1=float(q1), q2=float(q2)),
+        grid=(seg_per_sec,),
+        in_specs=[
+            pl.BlockSpec((1, nb * LANE, LANE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, 32), const),
+            pl.BlockSpec((npol, LANE // 2, LANE), const3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nout, LANE // 2, 32),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((npol, LANE // 2, LANE), const3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_per_sec, nout, LANE // 2, 32),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((npol, LANE // 2, LANE), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),
+            pltpu.VMEM((nb, LANE // 2, LANE), jnp.float32),
+            pltpu.VMEM((npol, LANE // 2, LANE), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xs, *(jnp.asarray(p) for p in pl_[:8]), jnp.asarray(packm),
+      bp_fact)
+    return out, bp_new
+
+
+def bp_to_factored(bp: jax.Array, nfft: int) -> jax.Array:
+    """(npol, nchan) linear bandpass -> (npol, 64, 128) factored (k2, k1)
+    plane (k = k1 + n1*k2); pad entries get 1.0 (EMA-divide-safe)."""
+    n1, _ = ch_ops._ct_split(nfft)
+    npol, nchan = bp.shape
+    n2o = nfft // 2 // n1 + 1
+    flat = jnp.concatenate(
+        [bp, jnp.full((npol, n2o * n1 - nchan), 1.0, bp.dtype)], axis=1)
+    f = flat.reshape(npol, n2o, n1)
+    f = jnp.pad(f, ((0, 0), (0, LANE // 2 - n2o), (0, LANE - n1)),
+                constant_values=1.0)
+    return f
+
+
+def bp_from_factored(bpf: jax.Array, nfft: int, nchan: int) -> jax.Array:
+    """Inverse of bp_to_factored."""
+    n1, _ = ch_ops._ct_split(nfft)
+    n2o = nfft // 2 // n1 + 1
+    return bpf[:, :n2o, :n1].reshape(bpf.shape[0], -1)[:, :nchan]
+
+
+def unfactor_pack_realign(planes: jax.Array, nfft: int, chanmin: int,
+                          chanmax: int, nbit: int = 2) -> jax.Array:
+    """(nseg, nout, 64, 32) f32 packed byte planes -> (nseg*nout,
+    nbytes_out) uint8 rows in the chain's sel_and_dig layout.
+
+    Two vectorized u8 shifts realign the channel-trim offset
+    (chanmin % samples-per-byte); touches only the packed bytes
+    (~6 KB/segment), never the unpacked levels.
+    """
+    n1, _ = ch_ops._ct_split(nfft)
+    per = 8 // nbit
+    bpr = n1 // per                     # bytes per k2 row
+    nseg, nout, half, _ = planes.shape
+    b = planes[:, :, :, :bpr].astype(jnp.int32)
+    b = b.reshape(nseg * nout, half * bpr)   # linear channel-byte order
+    lo = chanmin // per
+    r = chanmin % per
+    if r == 0:
+        out = b[:, lo:chanmax // per + 1]
+    else:
+        sh = nbit * r
+        cur = b[:, lo:lo + (chanmax - chanmin + 1) // per]
+        nxt = b[:, lo + 1:lo + 1 + (chanmax - chanmin + 1) // per]
+        out = ((cur >> sh) | (nxt << (8 - sh))) & 0xFF
+    return out.astype(jnp.uint8)
+
+
+def dft_detect_oracle(raw: np.ndarray, nfft: int, npol: int,
+                      seg_per_sec: int) -> np.ndarray:
+    """Explicit bf16-emulation oracle of dft_detect_power (plain jnp,
+    same math and padding; dot order may differ by backend — compare
+    with a small relative tolerance)."""
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    pl_ = dft_planes(nfft, nb)
+    xs = pretranspose_u8(jnp.asarray(raw), nfft, npol, seg_per_sec)
+    ui = xs.astype(jnp.int32)
+    x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+    x = _b(jnp.where(ui == 0, 0.0, x))
+    f32 = lambda m: jnp.asarray(m)
+    bf = lambda m: _b(jnp.asarray(m))
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ar = dot(x, bf(pl_.w1r_hi)) + dot(x, bf(pl_.w1r_lo))
+    ai = dot(x, bf(pl_.w1i_hi)) + dot(x, bf(pl_.w1i_lo))
+    br = ar * f32(pl_.twr)[None]
+    br = br - ai * f32(pl_.twi)[None]
+    bi = ar * f32(pl_.twi)[None] + ai * f32(pl_.twr)[None]
+    nseg = xs.shape[0]
+    br = br.reshape(nseg, nb, LANE, LANE)
+    bi = bi.reshape(nseg, nb, LANE, LANE)
+
+    def hl(v):
+        hi = v.astype(jnp.bfloat16)
+        return (_b(hi.astype(jnp.float32)),
+                _b(v - hi.astype(jnp.float32)))
+
+    w2h, w2l = bf(pl_.w2c_hi), bf(pl_.w2c_lo)
+    dot2 = lambda w, b: jax.lax.dot_general(
+        w, b, (((0,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32)   # (j, nseg, nb, k1)
+    rh, rl = hl(br)
+    ih, il = hl(bi)
+    dbr = dot2(w2h, rh) + dot2(w2h, rl) + dot2(w2l, rh)
+    dbi = dot2(w2h, ih) + dot2(w2h, il) + dot2(w2l, ih)
+    dbr = jnp.moveaxis(dbr, 0, -2)            # (nseg, nb, j, k1)
+    dbi = jnp.moveaxis(dbi, 0, -2)
+    pr = dbr[:, :, :LANE // 2] - dbi[:, :, LANE // 2:]
+    pi = dbr[:, :, LANE // 2:] + dbi[:, :, :LANE // 2]
+    return np.asarray(pr * pr + pi * pi)
