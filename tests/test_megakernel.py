@@ -126,6 +126,59 @@ def test_stageB_bp_carry_across_calls():
     assert (lev_c == lev_m).mean() > 0.9999
 
 
+def test_stageC_dual_stream_parity():
+    """Full rfi_mode=2 kernel vs the chain: both packed streams, bit-equal
+    weights, exact dag_frac, bp_kur carry — with RFI injected so the
+    D'Agostino gates actually fire."""
+    from vlite_fast_tpu.models import synthesis
+    cfg = PipelineConfig(
+        sample_rate=SEG_SAMPS * NSEG, seg_per_sec=NSEG, nfft=NFFT,
+        nkurto=256, chanmin=101, chanmax=612, nscrunch=8,
+        rfi_mode=2, ema_impl="scan", rfi_impl="xla",
+        front_layout="flat", dft_exact_input=True)
+    raw = synthesis.white_noise_uint8(cfg.sample_rate, seed=5)
+    t = np.arange(3000)
+    raw = raw.astype(np.int16)
+    raw[0, 40000:43000] += (60 * np.sin(0.3 * t)).astype(np.int16)
+    raw = np.clip(raw, 0, 255).astype(np.uint8)
+
+    st = bdsp.init_state(cfg)
+    cp, ck, ws, dfs = [], [], [], []
+    for s in range(NSEG):
+        seg = jnp.asarray(raw[:, s * SEG_SAMPS:(s + 1) * SEG_SAMPS])
+        o, st = bdsp.process_segment(cfg, seg, st)
+        cp.append(np.asarray(o.packed))
+        ck.append(np.asarray(o.packed_kur))
+        ws.append(np.asarray(o.weights))
+        dfs.append(float(o.dag_frac))
+    chain_w = np.concatenate(ws, 1)
+
+    bp0 = mk.bp_to_factored(jnp.zeros((4, cfg.nchan), jnp.float32), NFFT)
+    pp, kk, w, dag, bp_new = mk.chain_second(
+        jnp.asarray(raw), bp0, NFFT, 2, NSEG, cfg.nscrunch, cfg.nkurto,
+        2, float(cfg.bp_scale), float(cfg.dag_thresh),
+        float(cfg.dag_fb_thresh))
+    got_p = np.asarray(mk.unfactor_pack_realign(
+        pp, NFFT, cfg.chanmin, cfg.chanmax))
+    got_k = np.asarray(mk.unfactor_pack_realign(
+        kk, NFFT, cfg.chanmin, cfg.chanmax))
+    for a, b in [(np.concatenate(cp, 0), got_p),
+                 (np.concatenate(ck, 0), got_k)]:
+        la = np.asarray(q_ops.unpack_bits(jnp.asarray(a), 2))
+        lb = np.asarray(q_ops.unpack_bits(jnp.asarray(b), 2))
+        assert (la == lb).mean() > 0.9999
+    w = np.asarray(w)[:, :, 0]
+    got_w = np.concatenate(
+        [w[s].reshape(2, SEG_SAMPS // NFFT) for s in range(NSEG)], axis=1)
+    assert np.array_equal(chain_w, got_w)
+    assert got_w.mean() < 1.0          # gates fired on the injected RFI
+    assert abs(np.asarray(dag).mean() - np.mean(dfs)) < 1e-6
+    bp_lin = np.asarray(mk.bp_from_factored(bp_new[2:], NFFT, cfg.nchan))
+    ref = np.asarray(st.bp_kur)
+    rel = np.abs(bp_lin - ref) / np.maximum(np.abs(ref), 1e-6)
+    assert rel.max() < 1e-4
+
+
 def test_unfactor_realign_aligned_case():
     """chanmin % 4 == 0 takes the pure-slice path."""
     cfg = _cfg()

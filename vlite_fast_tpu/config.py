@@ -153,6 +153,20 @@ class PipelineConfig:
                                    # pass — same verdict as
                                    # dft_exact_input.
                                    # benchmarks/bench_dft_gauss_tpu.py
+    chain_impl: str = "xla"        # 'xla' (the fused-graph chain) |
+                                   # 'megakernel' (ops/megakernel.py:
+                                   # the whole segment — convert, RFI
+                                   # front, CT DFT, detect, EMA,
+                                   # scrunches, quantize, pack — as ONE
+                                   # Pallas launch per second; every
+                                   # intermediate VMEM-resident, HBM
+                                   # touched once per segment).  Applies
+                                   # to the injection-free program only
+                                   # (the host-gated armed window always
+                                   # runs the XLA chain); parity bar is
+                                   # >= 99.99% 2-bit agreement (EMA is
+                                   # sequential-exact, DFT rounding
+                                   # matches 'high'+exact-input).
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
                                    # zero-weights whole FFT blocks; the

@@ -408,6 +408,68 @@ def _finish_stream(cfg: PipelineConfig, out: jax.Array,
     return q_ops.sel_and_dig(out, cfg.chanmin, cfg.chanmax, cfg.nbit)
 
 
+def megakernel_supported(cfg: PipelineConfig) -> bool:
+    """Geometry/config gate for chain_impl='megakernel' (the injection
+    path always uses the XLA chain — host gating keeps the armed window
+    there, runtime/pipeline.feed_second)."""
+    if cfg.inject_frb or cfg.channelizer != "matmul" or cfg.nbit != 2:
+        return False
+    if not (cfg.npol_in == 2 and cfg.npol_out == 1
+            or cfg.npol_in == 1 and cfg.npol_out == 1):
+        return False
+    n1, n2 = ch_ops._ct_split(cfg.nfft)
+    n2_out = cfg.nfft // 2 // n1 + 1
+    if n1 > 128 or n2 > 128 or 2 * n2_out > 128 or n1 % 4:
+        return False
+    if cfg.rfi_mode > 0:
+        if cfg.nkurto % n2 or cfg.nfft % cfg.nkurto:
+            return False
+        if n1 // (cfg.nkurto // n2) > 32:
+            return False
+    return True
+
+
+def _megakernel_second(cfg: PipelineConfig, raw_second: jax.Array,
+                       state: DSPState, arm_inject: jax.Array
+                       ) -> tuple[SegmentOutput, DSPState]:
+    """process_second via the one-launch Pallas megakernel
+    (ops/megakernel.py; ref src/process_baseband.cu:1108-1360 as one
+    fused pass).  Only for inject-free programs (megakernel_supported);
+    the carried state is converted to/from the kernel's factored
+    bandpass layout per call (tiny (npol, nchan) ops)."""
+    from vlite_fast_tpu.ops import megakernel as mk
+    since = jnp.where(arm_inject, jnp.int32(0), state.segs_since_inject)
+    bpf = jnp.concatenate([
+        mk.bp_to_factored(state.bp, cfg.nfft),
+        mk.bp_to_factored(state.bp_kur, cfg.nfft)], axis=0)
+    pp, kk, w, dag, bp_new = mk.chain_second(
+        raw_second, bpf, cfg.nfft, cfg.npol_in, cfg.seg_per_sec,
+        cfg.nscrunch, cfg.nkurto, cfg.rfi_mode, float(cfg.bp_scale),
+        float(cfg.dag_thresh), float(cfg.dag_fb_thresh))
+    nbytes = cfg.npol_out * cfg.nchanout * cfg.nbit // 8
+    nsamps = cfg.seg_per_sec * cfg.out_samps_per_seg
+    empty = jnp.zeros((nsamps, nbytes), jnp.uint8)
+    packed = mk.unfactor_pack_realign(pp, cfg.nfft, cfg.chanmin,
+                                      cfg.chanmax) \
+        if cfg.rfi_mode != 1 else empty
+    packed_kur = mk.unfactor_pack_realign(kk, cfg.nfft, cfg.chanmin,
+                                          cfg.chanmax) \
+        if cfg.rfi_mode != 0 else empty
+    w3 = w[:, :, 0].reshape(cfg.seg_per_sec, cfg.npol_in,
+                            cfg.ffts_per_seg)
+    weights = jnp.swapaxes(w3, 0, 1).reshape(cfg.npol_in, -1)
+    new_since = jnp.where(since >= 0, since + cfg.seg_per_sec, since)
+    new_state = DSPState(
+        bp=mk.bp_from_factored(bp_new[:cfg.npol_in], cfg.nfft, cfg.nchan),
+        bp_kur=mk.bp_from_factored(bp_new[cfg.npol_in:], cfg.nfft,
+                                   cfg.nchan),
+        segs_since_inject=new_since, tail=state.tail, wtail=state.wtail)
+    histo = kur_ops.sample_histogram(raw_second) if cfg.do_histo \
+        else jnp.zeros((cfg.npol_in, 0), jnp.int32)
+    return SegmentOutput(packed, packed_kur, weights, jnp.mean(dag),
+                         histo), new_state
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def process_second(cfg: PipelineConfig, raw_second: jax.Array,
                    state: DSPState, arm_inject: jax.Array
@@ -423,8 +485,17 @@ def process_second(cfg: PipelineConfig, raw_second: jax.Array,
     segment).  'pallas': segments are scanned through the front half only
     and the one-pass VMEM EMA runs once over the whole second's power
     block (identical results to 'scan' — the per-time-tile seeding matches
-    the per-segment call sequence).
+    the per-segment call sequence).  chain_impl 'megakernel': the whole
+    second in one Pallas launch (injection-free programs only; armed
+    programs keep the XLA chain via the host gate).
     """
+    if cfg.chain_impl == "megakernel":
+        if not megakernel_supported(cfg):
+            raise ValueError(
+                "chain_impl='megakernel' unsupported for this config "
+                "(injection program, channelizer, nbit, or CT geometry); "
+                "see baseband_dsp.megakernel_supported")
+        return _megakernel_second(cfg, raw_second, state, arm_inject)
     if cfg.ema_impl != "pallas":
         segs = raw_second.reshape(cfg.npol_in, cfg.seg_per_sec,
                                   cfg.seg_samps).swapaxes(0, 1)

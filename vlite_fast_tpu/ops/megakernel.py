@@ -513,6 +513,395 @@ def unfactor_pack_realign(planes: jax.Array, nfft: int, chanmin: int,
     return out.astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Stage C: the RFI front + weighted (kurtosis) stream — full dual-stream
+# chain in one launch (rfi_mode 0/1/2)
+# ---------------------------------------------------------------------------
+#
+# The kurtosis window structure maps onto the kernel layout without any
+# relayout: window w of an fft block = m1 lanes [rw*w, rw*(w+1)) x all
+# m2 sublanes of that block (rw = nkurto // n2, whole m1-rows per
+# window — the framed-front divisibility rule, models/baseband_dsp.py
+# use_framed_front).  So the window moments are
+#   (a) a per-block sublane reduction  — reshape (nb,128,128).sum(1),
+#   (b) a lane-group sum               — one (64,128)@(128,32) dot
+# and the D'Agostino gates / block stats run on tiny (64, 32) planes
+# (windows on lanes, b on sublanes; pol-combined max = one sublane
+# roll).  The mask expands back with one (64,32)@(32,128) dot + a
+# sublane broadcast — matmuls with constant 0/1 selectors instead of
+# the reference's per-thread scatter (ref src/pb_kernels.cu:35-318).
+#
+# The weighted EMA / pscrunch_weights / tscrunch_weights semantics are
+# detect_and_normalize3 + the weighted scrunches (pb_kernels.cu:431-630)
+# with per-(pol,t) scalar weights read back from a (64,1) VMEM scratch.
+
+
+def _group_matrices(n1: int, rw: int) -> tuple[np.ndarray, np.ndarray]:
+    """(G4 (128, 32), E (32, 128)): lane-group sum and its expansion.
+    G4[m1, m1//rw] = 1 for m1 < n1;  E[w, m1] = 1 iff m1//rw == w."""
+    nw = n1 // rw
+    g4 = np.zeros((LANE, 32), np.float32)
+    e = np.zeros((32, LANE), np.float32)
+    for m1 in range(n1):
+        g4[m1, m1 // rw] = 1.0
+        e[m1 // rw, m1] = 1.0
+    if nw > 32:
+        raise ValueError(f"windows per block {nw} > 32")
+    return g4, e
+
+
+def _hdot(a, b):
+    """Exact-f32 dot (HIGHEST precision) contracting a.dim1 x b.dim0."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
+                 twr_ref, twi_ref, w2ch_ref, w2cl_ref, packm_ref,
+                 g4_ref, e_ref, bp_in_ref,
+                 outp_ref, outk_ref, w_ref, dag_ref, bp_out_ref,
+                 br_scr, bi_scr, pwra_scr, pwrb_scr, bp_scr, w_scr, *,
+                 nb: int, npol: int, nscrunch: int, nseg: int, nw: int,
+                 rfi_mode: int, scale: float,
+                 q0: float, q1: float, q2: float,
+                 dag_thresh: float, dag_fb_thresh: float, dag_inf: float,
+                 kf: dict, kb: dict, clip_ratio: float, clip_value: float,
+                 min_weight: float):
+    """One segment of the full chain (see module comment)."""
+    from vlite_fast_tpu.ops.rfi_pallas import _ts
+
+    i = pl.program_id(0)
+    tpp = nb // npol
+    nout = tpp // nscrunch
+    has_plain = rfi_mode != 1
+    has_kur = rfi_mode != 0
+
+    ui = u_ref[0].astype(jnp.int32)
+    x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+    x = jnp.where(ui == 0, 0.0, x)
+
+    consts = (_b(w1rh_ref[...]), _b(w1rl_ref[...]),
+              _b(w1ih_ref[...]), _b(w1il_ref[...]),
+              twr_ref[...], twi_ref[...],
+              _b(w2ch_ref[...]), _b(w2cl_ref[...]))
+
+    # ---- RFI front: window moments -> gates -> weights -> mask -------
+    if has_kur:
+        x2 = x * x
+        s2 = x2.reshape(nb, LANE, LANE).sum(axis=1)        # (nb, 128)
+        s4 = (x2 * x2).reshape(nb, LANE, LANE).sum(axis=1)
+        g4 = g4_ref[...]
+        nsamp_w = jnp.float32(1.0)  # per-window sample count via rw*n2:
+        # every window sums rw m1-lanes x n2 live sublanes; zeros from
+        # the m2/m1 padding do not perturb the sums, and the divisor is
+        # the true nkurto (passed via kf['nkurto'])
+        inv_n = jnp.float32(1.0 / kf["n"])
+        m2 = _hdot(s2, g4) * inv_n                         # (nb, 32)
+        m4 = _hdot(s4, g4) * inv_n
+        kur = jnp.where(m2 == 0.0, 0.0,
+                        m4 / jnp.where(m2 == 0.0, 1.0, m2 * m2))
+        ts = _ts(kur, kf, dag_inf)
+        dag = jnp.maximum(ts, pltpu.roll(ts, tpp, 0)) if npol == 2 else ts
+        fine_good = dag < dag_thresh
+        lane_ok = jax.lax.broadcasted_iota(jnp.int32, (nb, 32), 1) < nw
+        fine_good = jnp.logical_and(fine_good, lane_ok)
+        if dag_fb_thresh > 0:
+            wt = fine_good.astype(jnp.float32)
+            wsum = jnp.sum(wt, axis=1, keepdims=True)      # (nb, 1)
+            psum = jnp.sum(wt * m2, axis=1, keepdims=True)
+            qsum = jnp.sum(wt * kur * m2 * m2, axis=1, keepdims=True)
+            good_b = wsum > 0
+            pblk = jnp.where(good_b,
+                             psum / jnp.where(good_b, wsum, 1.0), 0.0)
+            kblk = jnp.where(good_b,
+                             qsum / jnp.where(good_b, wsum, 1.0)
+                             / jnp.where(good_b, pblk * pblk, 1.0), 0.0)
+            tsb = _ts(kblk, kb, dag_inf)
+            dfb = jnp.maximum(tsb, pltpu.roll(tsb, tpp, 0)) \
+                if npol == 2 else tsb
+            gate = jnp.logical_and(fine_good, dfb < dag_fb_thresh)
+        else:
+            gate = fine_good
+        g = gate.astype(jnp.float32)
+        w_col = jnp.sum(g, axis=1, keepdims=True) * (1.0 / nw)
+        w_scr[...] = w_col
+        w_ref[0] = w_col
+        dflag = jnp.where(lane_ok,
+                          (dag >= dag_thresh).astype(jnp.float32), 0.0)
+        dag_ref[...] = jnp.sum(
+            jnp.sum(dflag, axis=1, keepdims=True), axis=0,
+            keepdims=True) * (1.0 / (nw * nb))
+        gm = _hdot(g, e_ref[...])                          # (nb, 128) 0/1
+        mask = jnp.broadcast_to(gm[:, None, :],
+                                (nb, LANE, LANE)).reshape(nb * LANE, LANE)
+        x_kur = x * mask
+    else:
+        w_ref[0] = jnp.ones((nb, 1), jnp.float32)
+        dag_ref[...] = jnp.zeros((1, 1), jnp.float32)
+
+    # ---- DFT + detect into per-stream power scratch -------------------
+    if has_plain:
+        def emit_a(b, p):
+            pwra_scr[pl.ds(b, 1)] = p[None, :LANE // 2, :]
+        _dft_detect_body(x, *consts, br_scr, bi_scr, emit_a, nb=nb)
+    if has_kur:
+        def emit_b(b, p):
+            pwrb_scr[pl.ds(b, 1)] = p[None, :LANE // 2, :]
+        _dft_detect_body(x_kur, *consts, br_scr, bi_scr, emit_b, nb=nb)
+
+    packm = packm_ref[...]
+    rs = jnp.float32(1.0 / np.sqrt(nscrunch))
+    ps = jnp.float32(np.sqrt(0.5))
+
+    def quant_pack(ts_plane):
+        lev = ((ts_plane >= q0).astype(jnp.float32)
+               + (ts_plane >= q1).astype(jnp.float32)
+               + (ts_plane >= q2).astype(jnp.float32))
+        return jax.lax.dot_general(
+            lev, packm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def load_bp(slot):
+        carried = bp_scr[pl.ds(slot, 1)][0]
+        fresh = bp_in_ref[pl.ds(slot, 1)][0]
+        return jnp.where(i == 0, fresh, carried)
+
+    # ---- plain stream: EMA + pscrunch + tscrunch + pack ---------------
+    if has_plain:
+        def seg_mean(p):
+            def body(t, acc):
+                return acc + pwra_scr[pl.ds(p * tpp + t, 1)][0]
+            s = jax.lax.fori_loop(
+                0, tpp, body, jnp.zeros((LANE // 2, LANE), jnp.float32))
+            return s * (1.0 / tpp)
+
+        def bp_for(p):
+            bp = load_bp(p)
+            seed = seg_mean(p)
+            seed = jnp.where(seed == 0.0, 1.0, seed)
+            return jnp.where(bp == 0.0, seed, bp)
+
+        bp0 = bp_for(0)
+        bp1 = bp_for(1) if npol == 2 else bp0
+
+        def out_body(o, carry):
+            b0, b1 = carry
+
+            def sub(t, c):
+                b0, b1, acc = c
+                tt = o * nscrunch + t
+                p0 = pwra_scr[pl.ds(tt, 1)][0]
+                b0n = scale * p0 + (1.0 - scale) * b0
+                v = p0 / b0n - 1.0
+                if npol == 2:
+                    p1 = pwra_scr[pl.ds(tpp + tt, 1)][0]
+                    b1n = scale * p1 + (1.0 - scale) * b1
+                    v = ps * (v + (p1 / b1n - 1.0))
+                else:
+                    b1n = b1
+                return b0n, b1n, acc + v
+
+            b0, b1, acc = jax.lax.fori_loop(
+                0, nscrunch, sub,
+                (b0, b1, jnp.zeros((LANE // 2, LANE), jnp.float32)))
+            outp_ref[0, pl.ds(o, 1)] = quant_pack(acc * rs)[None]
+            return b0, b1
+
+        bp0, bp1 = jax.lax.fori_loop(0, nout, out_body, (bp0, bp1))
+        bp_scr[pl.ds(0, 1)] = bp0[None]
+        if npol == 2:
+            bp_scr[pl.ds(1, 1)] = bp1[None]
+
+    # ---- kurtosis stream: weighted EMA + weighted scrunches + pack ----
+    if has_kur:
+        koff = npol          # bp slots [npol, 2*npol) hold the kur carry
+
+        def kseed(p):
+            def body(t, c):
+                s, ng = c
+                w = w_scr[pl.ds(p * tpp + t, 1)]           # (1, 1)
+                gsc = (w > 0.0).astype(jnp.float32)
+                pw = pwrb_scr[pl.ds(p * tpp + t, 1)][0] \
+                    / jnp.where(w > 0.0, w, 1.0)
+                return s + pw * gsc, ng + gsc
+            s, ng = jax.lax.fori_loop(
+                0, tpp, body,
+                (jnp.zeros((LANE // 2, LANE), jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32)))
+            seed = jnp.where(ng > 0, s / jnp.maximum(ng, 1.0), 1.0)
+            return seed, ng
+
+        def kbp_for(p):
+            bp = load_bp(koff + p)
+            seed, ng = kseed(p)
+            bp = jnp.where(bp == 0.0, seed, bp)
+            stale = jnp.logical_and(
+                ng > 0, jnp.logical_or(seed > 5.0 * bp, seed < 0.2 * bp))
+            return jnp.where(stale, seed, bp)
+
+        kb0 = kbp_for(0)
+        kb1 = kbp_for(1) if npol == 2 else kb0
+
+        def kema_step(bp, p, w):
+            """detect_and_normalize3 one step: returns (bp', v)."""
+            gok = w > 0.0                                  # (1, 1)
+            pw = jnp.where(gok, p / jnp.where(gok, w, 1.0), 0.0)
+            clipped = pw > clip_ratio * bp
+            update = jnp.logical_and(gok, jnp.logical_not(clipped))
+            bpn = jnp.where(update, scale * pw + (1.0 - scale) * bp, bp)
+            v = jnp.where(gok,
+                          jnp.where(clipped, clip_value, pw / bpn - 1.0),
+                          0.0)
+            return bpn, v
+
+        def kout_body(o, carry):
+            b0, b1 = carry
+
+            def sub(t, c):
+                b0, b1, acc, cnt, wsum = c
+                tt = o * nscrunch + t
+                w0 = w_scr[pl.ds(tt, 1)]
+                b0n, v0 = kema_step(b0, pwrb_scr[pl.ds(tt, 1)][0], w0)
+                if npol == 2:
+                    w1 = w_scr[pl.ds(tpp + tt, 1)]
+                    b1n, v1 = kema_step(b1, pwrb_scr[pl.ds(tpp + tt, 1)][0],
+                                        w1)
+                    g0 = w0 >= min_weight
+                    g1 = w1 >= min_weight
+                    both = jnp.logical_and(g0, g1)
+                    v = jnp.where(both, ps * (v0 + v1),
+                                  v0 * g0.astype(jnp.float32)
+                                  + v1 * g1.astype(jnp.float32))
+                    wp = jnp.where(both, 0.5 * (w0 + w1),
+                                   w0 * g0.astype(jnp.float32)
+                                   + w1 * g1.astype(jnp.float32))
+                else:
+                    b1n, v, wp = b1, v0, w0
+                # tscrunch_weights accumulation (pb_kernels.cu:591-630)
+                gt = (wp >= min_weight).astype(jnp.float32)   # (1, 1)
+                wg = wp * gt
+                return (b0n, b1n, acc + (wg * v), cnt + gt, wsum + wg)
+
+            z = jnp.zeros((1, 1), jnp.float32)
+            b0, b1, acc, cnt, wsum = jax.lax.fori_loop(
+                0, nscrunch, sub,
+                (b0, b1, jnp.zeros((LANE // 2, LANE), jnp.float32), z, z))
+            ok = (wsum * (1.0 / nscrunch)) >= min_weight
+            ts_plane = jnp.where(
+                ok, acc / jnp.sqrt(jnp.maximum(cnt, 1.0)), 0.0)
+            outk_ref[0, pl.ds(o, 1)] = quant_pack(ts_plane)[None]
+            return b0, b1
+
+        kb0, kb1 = jax.lax.fori_loop(0, nout, kout_body, (kb0, kb1))
+        bp_scr[pl.ds(koff, 1)] = kb0[None]
+        if npol == 2:
+            bp_scr[pl.ds(koff + 1, 1)] = kb1[None]
+
+    @pl.when(i == nseg - 1)
+    def _():
+        bp_out_ref[...] = bp_scr[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nfft", "npol", "seg_per_sec", "nscrunch", "nkurto", "rfi_mode",
+    "scale", "dag_thresh", "dag_fb_thresh"))
+def chain_second(raw: jax.Array, bp_fact: jax.Array, nfft: int,
+                 npol: int, seg_per_sec: int, nscrunch: int,
+                 nkurto: int, rfi_mode: int, scale: float,
+                 dag_thresh: float, dag_fb_thresh: float):
+    """Full-chain megakernel: one second, rfi_mode 0/1/2.
+
+    raw: (npol, nsamp) uint8.  bp_fact: (2*npol, 64, 128) factored
+    bandpass carries — slots [0, npol) plain stream, [npol, 2*npol)
+    kurtosis stream (see bp_to_factored).
+
+    Returns (plain planes (nseg, nout, 64, 32) f32, kur planes same,
+    weights (nseg, nb, 1) f32 — rows are b = pol*ffts + t, identical
+    across pol halves — dag_frac (nseg, 1), new bp_fact).
+    """
+    from vlite_fast_tpu import constants as C
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    nout = ffts // nscrunch
+    pl_ = dft_planes(nfft, nb)
+    n1, n2 = pl_.n1, pl_.n2
+    if nkurto % n2 or nfft % nkurto:
+        raise ValueError("megakernel needs nkurto % n2 == 0 (framed rule)")
+    rw = nkurto // n2
+    nw = n1 // rw
+    g4m, em = _group_matrices(n1, rw)
+    kf = dict(C.dagostino_constants(nkurto))
+    kf["n"] = float(nkurto)
+    kb = dict(C.dagostino_constants(nfft))
+    packm = _pack_matrix(n1)
+    xs = pretranspose_u8(raw, nfft, npol, seg_per_sec)
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    q0, q1, q2 = C.QUANT2_THRESH
+    outs = pl.pallas_call(
+        functools.partial(
+            _full_kernel, nb=nb, npol=npol, nscrunch=nscrunch,
+            nseg=seg_per_sec, nw=nw, rfi_mode=rfi_mode,
+            scale=float(scale), q0=float(q0), q1=float(q1), q2=float(q2),
+            dag_thresh=float(dag_thresh),
+            dag_fb_thresh=float(dag_fb_thresh),
+            dag_inf=float(C.DAG_INF), kf=kf, kb=kb,
+            clip_ratio=float(C.BP_CLIP_RATIO),
+            clip_value=float(C.BP_CLIP_VALUE),
+            min_weight=float(C.MIN_WEIGHT)),
+        grid=(seg_per_sec,),
+        in_specs=[
+            pl.BlockSpec((1, nb * LANE, LANE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, 32), const),
+            pl.BlockSpec((LANE, 32), const),
+            pl.BlockSpec((32, LANE), const),
+            pl.BlockSpec((2 * npol, LANE // 2, LANE), const3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nout, LANE // 2, 32),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nout, LANE // 2, 32),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((2 * npol, LANE // 2, LANE), const3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_per_sec, nout, LANE // 2, 32),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, nout, LANE // 2, 32),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, 1), jnp.float32),
+            jax.ShapeDtypeStruct((2 * npol, LANE // 2, LANE),
+                                 jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),
+            pltpu.VMEM((nb, LANE // 2, LANE), jnp.float32),
+            pltpu.VMEM((nb, LANE // 2, LANE), jnp.float32),
+            pltpu.VMEM((2 * npol, LANE // 2, LANE), jnp.float32),
+            pltpu.VMEM((nb, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xs, *(jnp.asarray(p) for p in pl_[:8]), jnp.asarray(packm),
+      jnp.asarray(g4m), jnp.asarray(em), bp_fact)
+    return outs
+
+
 def dft_detect_oracle(raw: np.ndarray, nfft: int, npol: int,
                       seg_per_sec: int) -> np.ndarray:
     """Explicit bf16-emulation oracle of dft_detect_power (plain jnp,
