@@ -49,6 +49,35 @@ def test_two_process_coadd():
 
 
 @pytest.mark.slow
+def test_two_process_observation_soak():
+    """VERDICT r4 item 8: a full multi-second observation across 2 real
+    processes end to end — VDIF capture-replay, armed + plain sharded
+    steps with carried state, candidate extraction, and cross-process
+    TCP candidate shipping into the coincidencer, whose min_beams=3 cut
+    can only be satisfied once BOTH processes' beams have reported
+    (ref scripts/start_coadd:22-57 topology)."""
+    outs = _run_workers("observation", 39771, timeout=600)
+    by_pid = {o["pid"]: o for o in outs}
+    for o in outs:
+        assert o["devices"] == 4 and o["local_devices"] == 2
+        # capture plane was lossless at wire framing
+        assert o["cap"]["skipped"] == 0 and o["cap"]["anomalous"] == 0
+        # armed call recovered the burst in every beam + coadd (the
+        # worker asserts DM accuracy; the summary carries the counts)
+        assert o["calls"][0]["beams_with_cands"] == 4
+        assert o["calls"][0]["coadd_cands"] >= 1
+    # both processes computed the identical observation
+    for k in range(2):
+        assert by_pid[0]["calls"][k]["packed_sha"] == \
+            by_pid[1]["calls"][k]["packed_sha"], k
+    # the coincidencer (process 0) triggered on the injected burst with
+    # >=3 coincident beams — impossible without process 1's shipment
+    trigs = by_pid[0]["triggers"]
+    assert trigs and any("nbeam3" in t["meta"] or "nbeam4" in t["meta"]
+                         for t in trigs), trigs
+
+
+@pytest.mark.slow
 def test_two_process_array_step():
     """VERDICT r2 item 7: the production SPMD candidate plane across a
     real process boundary must equal the single-process virtual-mesh run
