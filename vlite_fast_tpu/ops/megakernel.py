@@ -186,9 +186,10 @@ def _dft_detect_body(x, w1r_hi, w1r_lo, w1i_hi, w1i_lo, twr, twi,
     """Shared stage1+twiddle+stage2+detect body.
 
     x: (nb*128, 128) f32 voltages in kernel layout.  Calls
-    emit(b, power) with power (128, 128): sublanes [0, 64) hold the
-    (k2, k1) plane (rows >= n2_out and lanes >= n1 are zero), sublane
-    half [64, 128) is garbage left from the fold and must be ignored.
+    emit(b, power) with power (64, 128): the (k2, k1) plane (rows >=
+    n2_out and lanes >= n1 are zero).  The fold's garbage half is
+    sliced off HERE with lax.slice — a combined `[None, :64, :]`
+    getitem at the emit site lowers to an unsupported Mosaic gather.
     """
     xb = _b(x)
     ar = _bdot(xb, w1r_hi) + _bdot(xb, w1r_lo)
@@ -211,7 +212,8 @@ def _dft_detect_body(x, w1r_hi, w1r_lo, w1i_hi, w1i_lo, twr, twi,
                + _bdot00(w2c_lo, ih))
         z = dbr + sgn * pltpu.roll(dbi, LANE // 2, 0)
         z = z * z
-        emit(b, z + pltpu.roll(z, LANE // 2, 0))
+        z = z + pltpu.roll(z, LANE // 2, 0)
+        emit(b, jax.lax.slice(z, (0, 0), (LANE // 2, LANE)))
         return 0
 
     jax.lax.fori_loop(0, nb, body, 0)
@@ -226,7 +228,7 @@ def _stageA_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
     x = jnp.where(ui == 0, 0.0, x)
 
     def emit(b, p):
-        out_ref[0, pl.ds(b, 1)] = p[None, :LANE // 2, :]
+        out_ref[0, pl.ds(b, 1)] = p[None]
 
     _dft_detect_body(
         x, _b(w1rh_ref[...]), _b(w1rl_ref[...]),
@@ -275,6 +277,8 @@ def dft_detect_power(raw: jax.Array, nfft: int, npol: int,
         scratch_shapes=[pltpu.VMEM((nb * LANE, LANE), jnp.float32),
                         pltpu.VMEM((nb * LANE, LANE), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xs, *(jnp.asarray(p) for p in pl_[:8]))
     return out
 
@@ -327,7 +331,7 @@ def _mk_stageB_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
     x = jnp.where(ui == 0, 0.0, x)
 
     def emit(b, p):
-        pwr_scr[pl.ds(b, 1)] = p[None, :LANE // 2, :]
+        pwr_scr[pl.ds(b, 1)] = p[None]
 
     _dft_detect_body(
         x, _b(w1rh_ref[...]), _b(w1rl_ref[...]),
@@ -460,6 +464,8 @@ def chain_second_plain(raw: jax.Array, bp_fact: jax.Array, nfft: int,
             pltpu.VMEM((npol, LANE // 2, LANE), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xs, *(jnp.asarray(p) for p in pl_[:8]), jnp.asarray(packm),
       bp_fact)
     return out, bp_new
@@ -558,6 +564,25 @@ def _hdot(a, b):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _bc2f(v):
+    """float (1, 1) -> (LANE//2, LANE): lane broadcast, then a
+    pltpu.repeat over sublanes.  A single (1,1)->(64,128)
+    broadcast_in_dim is 'Broadcast in both sublanes and lanes' —
+    unimplemented in the Mosaic TPU backend — and two chained
+    broadcast_in_dims canonicalize back into one, so the sublane step
+    must be an op the folder cannot merge."""
+    row = jax.lax.broadcast_in_dim(v, (1, LANE), (0, 1))
+    if _interpret():
+        return jnp.broadcast_to(row, (LANE // 2, LANE))
+    return pltpu.repeat(row, LANE // 2, 0)
+
+
+def _bc2b(v):
+    """bool (1, 1) -> (LANE//2, LANE) via the float two-step path
+    (i1-vector broadcasts are flakier than f32 in Mosaic)."""
+    return _bc2f(v.astype(jnp.float32)) > 0.0
+
+
 def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
                  twr_ref, twi_ref, w2ch_ref, w2cl_ref, packm_ref,
                  g4_ref, e_ref, bp_in_ref,
@@ -630,25 +655,29 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
         w_ref[0] = w_col
         dflag = jnp.where(lane_ok,
                           (dag >= dag_thresh).astype(jnp.float32), 0.0)
-        dag_ref[...] = jnp.sum(
+        dfrac = jnp.sum(
             jnp.sum(dflag, axis=1, keepdims=True), axis=0,
             keepdims=True) * (1.0 / (nw * nb))
+        # (1, 1, LANE) broadcast: the dag output block must keep its
+        # last-two dims equal to the array's (Mosaic tiling rule); the
+        # wrapper reads lane 0
+        dag_ref[...] = jnp.broadcast_to(dfrac[None], (1, 1, LANE))
         gm = _hdot(g, e_ref[...])                          # (nb, 128) 0/1
         mask = jnp.broadcast_to(gm[:, None, :],
                                 (nb, LANE, LANE)).reshape(nb * LANE, LANE)
         x_kur = x * mask
     else:
         w_ref[0] = jnp.ones((nb, 1), jnp.float32)
-        dag_ref[...] = jnp.zeros((1, 1), jnp.float32)
+        dag_ref[...] = jnp.zeros((1, 1, LANE), jnp.float32)
 
     # ---- DFT + detect into per-stream power scratch -------------------
     if has_plain:
         def emit_a(b, p):
-            pwra_scr[pl.ds(b, 1)] = p[None, :LANE // 2, :]
+            pwra_scr[pl.ds(b, 1)] = p[None]
         _dft_detect_body(x, *consts, br_scr, bi_scr, emit_a, nb=nb)
     if has_kur:
         def emit_b(b, p):
-            pwrb_scr[pl.ds(b, 1)] = p[None, :LANE // 2, :]
+            pwrb_scr[pl.ds(b, 1)] = p[None]
         _dft_detect_body(x_kur, *consts, br_scr, bi_scr, emit_b, nb=nb)
 
     packm = packm_ref[...]
@@ -723,14 +752,19 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
                 s, ng = c
                 w = w_scr[pl.ds(p * tpp + t, 1)]           # (1, 1)
                 gsc = (w > 0.0).astype(jnp.float32)
-                pw = pwrb_scr[pl.ds(p * tpp + t, 1)][0] \
-                    / jnp.where(w > 0.0, w, 1.0)
-                return s + pw * gsc, ng + gsc
+                # gated 1/w as a (1,1) value, broadcast in two legal
+                # steps (zero when the window is fully flagged, so the
+                # gsc factor is already folded in)
+                inv = jnp.where(w > 0.0,
+                                1.0 / jnp.where(w > 0.0, w, 1.0), 0.0)
+                pw = pwrb_scr[pl.ds(p * tpp + t, 1)][0] * _bc2f(inv)
+                return s + pw, ng + gsc
             s, ng = jax.lax.fori_loop(
                 0, tpp, body,
                 (jnp.zeros((LANE // 2, LANE), jnp.float32),
                  jnp.zeros((1, 1), jnp.float32)))
-            seed = jnp.where(ng > 0, s / jnp.maximum(ng, 1.0), 1.0)
+            seed = jnp.where(_bc2b(ng > 0),
+                             s * _bc2f(1.0 / jnp.maximum(ng, 1.0)), 1.0)
             return seed, ng
 
         def kbp_for(p):
@@ -738,7 +772,8 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
             seed, ng = kseed(p)
             bp = jnp.where(bp == 0.0, seed, bp)
             stale = jnp.logical_and(
-                ng > 0, jnp.logical_or(seed > 5.0 * bp, seed < 0.2 * bp))
+                _bc2b(ng > 0),
+                jnp.logical_or(seed > 5.0 * bp, seed < 0.2 * bp))
             return jnp.where(stale, seed, bp)
 
         kb0 = kbp_for(0)
@@ -747,11 +782,13 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
         def kema_step(bp, p, w):
             """detect_and_normalize3 one step: returns (bp', v)."""
             gok = w > 0.0                                  # (1, 1)
-            pw = jnp.where(gok, p / jnp.where(gok, w, 1.0), 0.0)
+            inv = jnp.where(gok, 1.0 / jnp.where(gok, w, 1.0), 0.0)
+            gokp = _bc2b(gok)                              # (64, 128)
+            pw = p * _bc2f(inv)             # zero when the gate is off
             clipped = pw > clip_ratio * bp
-            update = jnp.logical_and(gok, jnp.logical_not(clipped))
+            update = jnp.logical_and(gokp, jnp.logical_not(clipped))
             bpn = jnp.where(update, scale * pw + (1.0 - scale) * bp, bp)
-            v = jnp.where(gok,
+            v = jnp.where(gokp,
                           jnp.where(clipped, clip_value, pw / bpn - 1.0),
                           0.0)
             return bpn, v
@@ -771,9 +808,9 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
                     g0 = w0 >= min_weight
                     g1 = w1 >= min_weight
                     both = jnp.logical_and(g0, g1)
-                    v = jnp.where(both, ps * (v0 + v1),
-                                  v0 * g0.astype(jnp.float32)
-                                  + v1 * g1.astype(jnp.float32))
+                    v = jnp.where(_bc2b(both), ps * (v0 + v1),
+                                  v0 * _bc2f(g0.astype(jnp.float32))
+                                  + v1 * _bc2f(g1.astype(jnp.float32)))
                     wp = jnp.where(both, 0.5 * (w0 + w1),
                                    w0 * g0.astype(jnp.float32)
                                    + w1 * g1.astype(jnp.float32))
@@ -782,15 +819,17 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
                 # tscrunch_weights accumulation (pb_kernels.cu:591-630)
                 gt = (wp >= min_weight).astype(jnp.float32)   # (1, 1)
                 wg = wp * gt
-                return (b0n, b1n, acc + (wg * v), cnt + gt, wsum + wg)
+                return (b0n, b1n, acc + _bc2f(wg) * v, cnt + gt,
+                        wsum + wg)
 
             z = jnp.zeros((1, 1), jnp.float32)
             b0, b1, acc, cnt, wsum = jax.lax.fori_loop(
                 0, nscrunch, sub,
                 (b0, b1, jnp.zeros((LANE // 2, LANE), jnp.float32), z, z))
-            ok = (wsum * (1.0 / nscrunch)) >= min_weight
+            ok = (wsum * (1.0 / nscrunch)) >= min_weight   # (1, 1)
             ts_plane = jnp.where(
-                ok, acc / jnp.sqrt(jnp.maximum(cnt, 1.0)), 0.0)
+                _bc2b(ok),
+                acc * _bc2f(1.0 / jnp.sqrt(jnp.maximum(cnt, 1.0))), 0.0)
             outk_ref[0, pl.ds(o, 1)] = quant_pack(ts_plane)[None]
             return b0, b1
 
@@ -875,7 +914,7 @@ def chain_second(raw: jax.Array, bp_fact: jax.Array, nfft: int,
             pl.BlockSpec((1, nout, LANE // 2, 32),
                          lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0)),
             pl.BlockSpec((2 * npol, LANE // 2, LANE), const3),
         ],
         out_shape=[
@@ -884,7 +923,7 @@ def chain_second(raw: jax.Array, bp_fact: jax.Array, nfft: int,
             jax.ShapeDtypeStruct((seg_per_sec, nout, LANE // 2, 32),
                                  jnp.float32),
             jax.ShapeDtypeStruct((seg_per_sec, nb, 1), jnp.float32),
-            jax.ShapeDtypeStruct((seg_per_sec, 1), jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, 1, LANE), jnp.float32),
             jax.ShapeDtypeStruct((2 * npol, LANE // 2, LANE),
                                  jnp.float32),
         ],
@@ -897,9 +936,12 @@ def chain_second(raw: jax.Array, bp_fact: jax.Array, nfft: int,
             pltpu.VMEM((nb, 1), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xs, *(jnp.asarray(p) for p in pl_[:8]), jnp.asarray(packm),
       jnp.asarray(g4m), jnp.asarray(em), bp_fact)
-    return outs
+    pp, kk, w, dag3, bp_new = outs
+    return pp, kk, w, dag3[:, 0, :1], bp_new
 
 
 def dft_detect_oracle(raw: np.ndarray, nfft: int, npol: int,
