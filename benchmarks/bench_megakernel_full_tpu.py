@@ -38,6 +38,7 @@ cfgs = {
     "xla": PipelineConfig(),
     "xla_scan": PipelineConfig(ema_impl="scan"),
     "megakernel": PipelineConfig(chain_impl="megakernel"),
+    "megakernel2": PipelineConfig(chain_impl="megakernel2"),
 }
 raw = rng.integers(1, 256, size=(2, cfgs["xla"].sample_rate),
                    dtype=np.uint8)
@@ -107,14 +108,15 @@ print(f"split: pretranspose {pre_ms:.1f}  kernel(incl pre) {kern_ms:.1f}  "
       f"unfactor-pack {unf_ms:.1f} ms (x2 streams)", flush=True)
 
 # ---- on-device 2-bit agreement ----------------------------------------
-om = results["megakernel"][1]
-for base in ("xla", "xla_scan"):
-    ox = results[base][1]
-    for stream in ("packed", "packed_kur"):
-        lx = q_ops.unpack_bits(getattr(ox, stream), 2).astype(jnp.int32)
-        lm = q_ops.unpack_bits(getattr(om, stream), 2).astype(jnp.int32)
-        agree = float(jnp.mean((lx == lm).astype(jnp.float32)))
-        print(f"2-bit agreement vs {base} [{stream}]: {agree:.6f}",
-              flush=True)
-print(f"speedup vs default chain: "
-      f"{results['xla'][0]/results['megakernel'][0]:.2f}x", flush=True)
+for which in ("megakernel", "megakernel2"):
+    om = results[which][1]
+    for base in ("xla", "xla_scan"):
+        ox = results[base][1]
+        for stream in ("packed", "packed_kur"):
+            lx = q_ops.unpack_bits(getattr(ox, stream), 2).astype(jnp.int32)
+            lm = q_ops.unpack_bits(getattr(om, stream), 2).astype(jnp.int32)
+            agree = float(jnp.mean((lx == lm).astype(jnp.float32)))
+            print(f"2-bit agreement {which} vs {base} [{stream}]: "
+                  f"{agree:.6f}", flush=True)
+    print(f"{which} speedup vs default chain: "
+          f"{results['xla'][0]/results[which][0]:.2f}x", flush=True)

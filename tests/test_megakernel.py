@@ -199,3 +199,84 @@ def test_unfactor_realign_aligned_case():
     lev_c = np.asarray(q_ops.unpack_bits(jnp.asarray(np.asarray(o.packed)), 2))
     lev_m = np.asarray(q_ops.unpack_bits(jnp.asarray(got), 2))
     assert (lev_c == lev_m).mean() > 0.9999
+
+
+def test_v2_dual_stream_parity():
+    """Natural-layout kernel (chain_second_v2): both packed streams,
+    bit-equal weights, exact dag_frac, bp carry — same bar as stage C,
+    with RFI injected so the row-window gates + roll-fill masks fire."""
+    from vlite_fast_tpu.models import synthesis
+    cfg = PipelineConfig(
+        sample_rate=SEG_SAMPS * NSEG, seg_per_sec=NSEG, nfft=NFFT,
+        nkurto=256, chanmin=101, chanmax=612, nscrunch=8,
+        rfi_mode=2, ema_impl="scan", rfi_impl="xla",
+        front_layout="flat", dft_exact_input=True)
+    raw = synthesis.white_noise_uint8(cfg.sample_rate, seed=5)
+    t = np.arange(3000)
+    raw = raw.astype(np.int16)
+    raw[0, 40000:43000] += (60 * np.sin(0.3 * t)).astype(np.int16)
+    raw = np.clip(raw, 0, 255).astype(np.uint8)
+
+    st = bdsp.init_state(cfg)
+    cp, ck, ws, dfs = [], [], [], []
+    for s in range(NSEG):
+        seg = jnp.asarray(raw[:, s * SEG_SAMPS:(s + 1) * SEG_SAMPS])
+        o, st = bdsp.process_segment(cfg, seg, st)
+        cp.append(np.asarray(o.packed))
+        ck.append(np.asarray(o.packed_kur))
+        ws.append(np.asarray(o.weights))
+        dfs.append(float(o.dag_frac))
+    chain_w = np.concatenate(ws, 1)
+
+    bp0 = mk.bp_to_factored_v2(jnp.zeros((4, cfg.nchan), jnp.float32),
+                               NFFT)
+    pp, kk, w, dag, bp_new = mk.chain_second_v2(
+        jnp.asarray(raw), bp0, NFFT, 2, NSEG, cfg.nscrunch, cfg.nkurto,
+        2, float(cfg.bp_scale), float(cfg.dag_thresh),
+        float(cfg.dag_fb_thresh))
+    got_p = np.asarray(mk.unfactor_pack_realign_v2(
+        pp, NFFT, cfg.chanmin, cfg.chanmax))
+    got_k = np.asarray(mk.unfactor_pack_realign_v2(
+        kk, NFFT, cfg.chanmin, cfg.chanmax))
+    for a, b in [(np.concatenate(cp, 0), got_p),
+                 (np.concatenate(ck, 0), got_k)]:
+        la = np.asarray(q_ops.unpack_bits(jnp.asarray(a), 2))
+        lb = np.asarray(q_ops.unpack_bits(jnp.asarray(b), 2))
+        assert (la == lb).mean() > 0.9999
+    w = np.asarray(w)[:, :, 0]
+    got_w = np.concatenate(
+        [w[s].reshape(2, SEG_SAMPS // NFFT) for s in range(NSEG)], axis=1)
+    assert np.array_equal(chain_w, got_w)
+    assert got_w.mean() < 1.0
+    assert abs(np.asarray(dag).mean() - np.mean(dfs)) < 1e-6
+    bp_lin = np.asarray(mk.bp_from_factored_v2(bp_new[2:], NFFT,
+                                               cfg.nchan))
+    ref = np.asarray(st.bp_kur)
+    rel = np.abs(bp_lin - ref) / np.maximum(np.abs(ref), 1e-6)
+    assert rel.max() < 1e-4
+
+
+def test_v2_via_process_second_and_carry():
+    """chain_impl='megakernel2' through process_second across two calls:
+    packed agreement + carried bandpass continue the observation."""
+    import dataclasses
+    cfg_scan = _cfg()
+    cfg2 = dataclasses.replace(cfg_scan, chain_impl="megakernel2",
+                               rfi_mode=2)
+    cfg_ref = dataclasses.replace(cfg_scan, rfi_mode=2)
+    assert bdsp.megakernel_supported(cfg2)
+    raw1, raw2 = _raw(cfg2, seed=21), _raw(cfg2, seed=22)
+    st_r = bdsp.init_state(cfg_ref)
+    st_m = bdsp.init_state(cfg2)
+    for raw in (raw1, raw2):
+        o_r, st_r = bdsp.process_second(cfg_ref, jnp.asarray(raw), st_r,
+                                        jnp.asarray(False))
+        o_m, st_m = bdsp.process_second(cfg2, jnp.asarray(raw), st_m,
+                                        jnp.asarray(False))
+    for stream in ("packed", "packed_kur"):
+        la = np.asarray(q_ops.unpack_bits(getattr(o_r, stream), 2))
+        lb = np.asarray(q_ops.unpack_bits(getattr(o_m, stream), 2))
+        assert (la == lb).mean() > 0.9999, stream
+    bp_r, bp_m = np.asarray(st_r.bp_kur), np.asarray(st_m.bp_kur)
+    rel = np.abs(bp_m - bp_r) / np.maximum(np.abs(bp_r), 1e-6)
+    assert rel.max() < 1e-4

@@ -167,6 +167,12 @@ class PipelineConfig:
                                    # >= 99.99% 2-bit agreement (EMA is
                                    # sequential-exact, DFT rounding
                                    # matches 'high'+exact-input).
+                                   # 'megakernel2': the natural-layout
+                                   # variant — no XLA pretranspose (the
+                                   # measured 18 ms/data-s wall,
+                                   # benchmarks/bench_pretranspose_tpu):
+                                   # stage 1 per-frame aT.b dots,
+                                   # stage 2 one batched dot/stream.
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
                                    # zero-weights whole FFT blocks; the

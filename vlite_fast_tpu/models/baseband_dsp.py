@@ -424,7 +424,14 @@ def megakernel_supported(cfg: PipelineConfig) -> bool:
     if cfg.rfi_mode > 0:
         if cfg.nkurto % n2 or cfg.nfft % cfg.nkurto:
             return False
-        if n1 // (cfg.nkurto // n2) > 32:
+        rw = cfg.nkurto // n2
+        if cfg.chain_impl == "megakernel2":
+            # natural-layout windows: rw consecutive rows, filled by a
+            # log2(rw) roll cascade — rw must be a power of two and
+            # divide P = n1
+            if n1 % rw or rw & (rw - 1):
+                return False
+        elif n1 // rw > 32:
             return False
     return True
 
@@ -438,31 +445,34 @@ def _megakernel_second(cfg: PipelineConfig, raw_second: jax.Array,
     the carried state is converted to/from the kernel's factored
     bandpass layout per call (tiny (npol, nchan) ops)."""
     from vlite_fast_tpu.ops import megakernel as mk
+    v2 = cfg.chain_impl == "megakernel2"
+    to_fact = mk.bp_to_factored_v2 if v2 else mk.bp_to_factored
+    from_fact = mk.bp_from_factored_v2 if v2 else mk.bp_from_factored
+    chain = mk.chain_second_v2 if v2 else mk.chain_second
+    unfact = mk.unfactor_pack_realign_v2 if v2 \
+        else mk.unfactor_pack_realign
     since = jnp.where(arm_inject, jnp.int32(0), state.segs_since_inject)
     bpf = jnp.concatenate([
-        mk.bp_to_factored(state.bp, cfg.nfft),
-        mk.bp_to_factored(state.bp_kur, cfg.nfft)], axis=0)
-    pp, kk, w, dag, bp_new = mk.chain_second(
+        to_fact(state.bp, cfg.nfft),
+        to_fact(state.bp_kur, cfg.nfft)], axis=0)
+    pp, kk, w, dag, bp_new = chain(
         raw_second, bpf, cfg.nfft, cfg.npol_in, cfg.seg_per_sec,
         cfg.nscrunch, cfg.nkurto, cfg.rfi_mode, float(cfg.bp_scale),
         float(cfg.dag_thresh), float(cfg.dag_fb_thresh))
     nbytes = cfg.npol_out * cfg.nchanout * cfg.nbit // 8
     nsamps = cfg.seg_per_sec * cfg.out_samps_per_seg
     empty = jnp.zeros((nsamps, nbytes), jnp.uint8)
-    packed = mk.unfactor_pack_realign(pp, cfg.nfft, cfg.chanmin,
-                                      cfg.chanmax) \
+    packed = unfact(pp, cfg.nfft, cfg.chanmin, cfg.chanmax) \
         if cfg.rfi_mode != 1 else empty
-    packed_kur = mk.unfactor_pack_realign(kk, cfg.nfft, cfg.chanmin,
-                                          cfg.chanmax) \
+    packed_kur = unfact(kk, cfg.nfft, cfg.chanmin, cfg.chanmax) \
         if cfg.rfi_mode != 0 else empty
     w3 = w[:, :, 0].reshape(cfg.seg_per_sec, cfg.npol_in,
                             cfg.ffts_per_seg)
     weights = jnp.swapaxes(w3, 0, 1).reshape(cfg.npol_in, -1)
     new_since = jnp.where(since >= 0, since + cfg.seg_per_sec, since)
     new_state = DSPState(
-        bp=mk.bp_from_factored(bp_new[:cfg.npol_in], cfg.nfft, cfg.nchan),
-        bp_kur=mk.bp_from_factored(bp_new[cfg.npol_in:], cfg.nfft,
-                                   cfg.nchan),
+        bp=from_fact(bp_new[:cfg.npol_in], cfg.nfft, cfg.nchan),
+        bp_kur=from_fact(bp_new[cfg.npol_in:], cfg.nfft, cfg.nchan),
         segs_since_inject=new_since, tail=state.tail, wtail=state.wtail)
     histo = kur_ops.sample_histogram(raw_second) if cfg.do_histo \
         else jnp.zeros((cfg.npol_in, 0), jnp.int32)
@@ -489,12 +499,12 @@ def process_second(cfg: PipelineConfig, raw_second: jax.Array,
     second in one Pallas launch (injection-free programs only; armed
     programs keep the XLA chain via the host gate).
     """
-    if cfg.chain_impl == "megakernel":
+    if cfg.chain_impl in ("megakernel", "megakernel2"):
         if not megakernel_supported(cfg):
             raise ValueError(
-                "chain_impl='megakernel' unsupported for this config "
-                "(injection program, channelizer, nbit, or CT geometry); "
-                "see baseband_dsp.megakernel_supported")
+                f"chain_impl={cfg.chain_impl!r} unsupported for this "
+                "config (injection program, channelizer, nbit, or CT "
+                "geometry); see baseband_dsp.megakernel_supported")
         return _megakernel_second(cfg, raw_second, state, arm_inject)
     if cfg.ema_impl != "pallas":
         segs = raw_second.reshape(cfg.npol_in, cfg.seg_per_sec,

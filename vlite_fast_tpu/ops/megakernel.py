@@ -990,3 +990,594 @@ def dft_detect_oracle(raw: np.ndarray, nfft: int, npol: int,
     pr = dbr[:, :, :LANE // 2] - dbi[:, :, LANE // 2:]
     pi = dbr[:, :, LANE // 2:] + dbi[:, :, :LANE // 2]
     return np.asarray(pr * pr + pi * pi)
+
+
+# ---------------------------------------------------------------------------
+# Natural-layout megakernel (round 5): the pretranspose is the wall
+# ---------------------------------------------------------------------------
+#
+# The kernel above is fed by an XLA u8 pretranspose that measures
+# 17.9 ms/data-second on chip — as long as the whole kernel's compute —
+# and the sweep in benchmarks/bench_pretranspose_tpu.py shows EVERY XLA
+# formulation of the relayout (pad-only included) costs ~18 ms: XLA u8
+# data movement runs ~30x off HBM speed of light here.  So this variant
+# eliminates the prologue entirely by running the SAME Cooley-Tukey
+# factorization in the array's NATURAL layout:
+#
+#   raw (npol, nsamp) --free reshape--> (npol, nseg, ffts*P, Q)
+#   frame sample n = p*Q + q,  P, Q = _ct_split(nfft) = (100, 125)
+#
+#   X[kA + P*kB] = sum_q W_N^{q kA} W_Q^{q kB} S[kA, q]
+#   S[kA, q]     = sum_p W_P[p, kA] x[p, q]
+#
+# identical math to the kernel above (kA = k1, kB = k2, same w1/w2c
+# constant matrices, twiddle un-tiled) with the two MXU stages' roles
+# SWAPPED: stage 1 is now a per-frame aT.b dot contracting the sublane
+# dim (4 small (128,128) dots per frame per stream), while stage 2 —
+# previously 6 small dots per frame — becomes 6 BIG (nb*128, 128) dots
+# per stream for the whole segment.  Net per segment: 512 small + 12 big
+# dots (vs 768 small + 8 big + the 18 ms XLA prologue).
+#
+# Every downstream plane is the TRANSPOSE of the old kernel's: power
+# planes (kA, kB) = (128, 64)-shaped instead of (64, 128), packed byte
+# planes (g, kB) with byte c = g + (P/4)*kB — the identical byte
+# semantics, so bp_to_factored / unfactor_pack_realign are reused via a
+# single tiny swapaxes.
+#
+# RFI front in this layout: a kurtosis window is rw = nkurto/Q
+# CONSECUTIVE p-rows x all q lanes.  Window moments come from rw-1
+# sublane roll-adds (valid at rw-aligned rows), the D'Agostino gates run
+# on (128, 1) columns (garbage at unaligned rows, masked off), the
+# dual-pol pairing is a max of the two pols' columns inside the same
+# t-iteration, and the per-row mask is a log2(rw)-step roll forward-fill
+# — no gather, no transpose, no group matrices.
+#
+# Ref: same role as above (src/process_baseband.cu:1108-1360).
+
+
+def natural_blocks(raw: jax.Array, nfft: int, npol: int,
+                   seg_per_sec: int) -> jax.Array:
+    """(npol, nsamp) u8 -> (npol, nseg, ffts*P, Q): a FREE row-major
+    reshape (no transpose, no pad — the whole point of this variant)."""
+    P, Q = ch_ops._ct_split(nfft)
+    return raw.reshape(npol, seg_per_sec, -1, Q)
+
+
+class DFTPlanesV2(NamedTuple):
+    w1cat: np.ndarray    # (128, 512) stage-1 planes [p, kA] packed
+                         # [re_hi | re_lo | im_hi | im_lo] so the four
+                         # bf16 passes per frame are ONE MXU dot (the
+                         # 256-small-dots/segment stage-1 measured
+                         # 216 ns/dot; lane-concatenation quarters the
+                         # op count at identical products + add order)
+    twr: np.ndarray      # (128, 128) twiddle [kA, q] (un-tiled)
+    # (see w1cat)
+    twi: np.ndarray
+    w2c_hi: np.ndarray   # (128, 128) [w2r | w2i] packed halves [q, kB]
+    w2c_lo: np.ndarray
+    P: int
+    Q: int
+    kb_out: int
+
+
+@functools.lru_cache(maxsize=4)
+def dft_planes_v2(nfft: int) -> DFTPlanesV2:
+    P, Q = ch_ops._ct_split(nfft)
+    if P > LANE or Q > LANE:
+        raise ValueError(f"CT factors {P}x{Q} exceed one lane tile")
+    w1, tw, w2 = ch_ops._ct_tables(nfft)
+    kb_out = nfft // 2 // P + 1
+    if 2 * kb_out > LANE:
+        raise ValueError(f"2*kb_out={2*kb_out} exceeds the packed w2 tile")
+    w1p = np.zeros((LANE, LANE), np.complex64)
+    w1p[:P, :P] = w1.T                       # [p, kA] (symmetric)
+    w1r_hi, w1r_lo = _hi_lo(w1p.real.astype(np.float32))
+    w1i_hi, w1i_lo = _hi_lo(w1p.imag.astype(np.float32))
+    w1cat = np.concatenate([w1r_hi, w1r_lo, w1i_hi, w1i_lo], axis=1)
+    twp = np.zeros((LANE, LANE), np.complex64)
+    twp[:P, :Q] = tw                         # [kA, q] directly
+    twr = twp.real.astype(np.float32)
+    twi = twp.imag.astype(np.float32)
+    w2s = w2[:, :kb_out]
+    w2c = np.zeros((LANE, LANE), np.float32)
+    w2c[:Q, :kb_out] = w2s.real.astype(np.float32)
+    w2c[:Q, LANE // 2:LANE // 2 + kb_out] = w2s.imag.astype(np.float32)
+    w2c_hi, w2c_lo = _hi_lo(w2c)
+    return DFTPlanesV2(w1cat, twr, twi, w2c_hi, w2c_lo, P, Q, kb_out)
+
+
+def _bcpf(v, rows):
+    """float (1, 1) -> (rows, 64) Mosaic-legally (see _bc2f)."""
+    row = jax.lax.broadcast_in_dim(v, (1, LANE // 2), (0, 1))
+    if _interpret():
+        return jnp.broadcast_to(row, (rows, LANE // 2))
+    return pltpu.repeat(row, rows, 0)
+
+
+def _bcpb(v, rows):
+    return _bcpf(v.astype(jnp.float32), rows) > 0.0
+
+
+def _full_kernel_v2(u_ref, w1cat_ref,
+                    twrt_ref, twit_ref, w2ch_ref, w2cl_ref, packm_ref,
+                    bp_in_ref,
+                    outp_ref, outk_ref, w_ref, dag_ref, bp_out_ref,
+                    sra_scr, sia_scr, srb_scr, sib_scr,
+                    pwra_scr, pwrb_scr, bp_scr, w_scr, *,
+                    nb: int, npol: int, ffts: int, P: int, Q: int,
+                    nscrunch: int, nseg: int, rw: int, nw: int,
+                    rfi_mode: int, scale: float,
+                    q0: float, q1: float, q2: float,
+                    dag_thresh: float, dag_fb_thresh: float,
+                    dag_inf: float, kf: dict, kb: dict,
+                    clip_ratio: float, clip_value: float,
+                    min_weight: float, debug_stop: int = 99):
+    """One segment of the natural-layout chain (see section comment).
+
+    debug_stop (perf triage only): 1 = stop after stage 1, 2 = stop
+    after stage 2 — downstream outputs are left unwritten (garbage)."""
+    from vlite_fast_tpu.ops.rfi_pallas import _ts
+
+    i = pl.program_id(0)
+    tpp = ffts                       # spectra per pol per segment
+    nout = tpp // nscrunch
+    has_plain = rfi_mode != 1
+    has_kur = rfi_mode != 0
+    half = LANE // 2
+
+    # ---- phase 0: convert + pad every frame into voltage scratch ------
+    # u8 refs tile (32, 128); frame rows t*P are not tile-aligned, so
+    # slice the frames STATICALLY from the whole-block value and write
+    # 128-row-aligned padded frames the dynamic loops below can read.
+    # Stored bf16 on chip: voltages k/128 are bf16-EXACT (the
+    # dft_exact_input property), so this halves the stage-1 loop's
+    # vreg traffic and removes its per-iteration cast.
+    vdt = jnp.float32 if _interpret() else jnp.bfloat16
+    x_alls = []
+    for pol in range(npol):
+        ui = u_ref[pol, 0].astype(jnp.int32)           # (ffts*P, Q)
+        x_all = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+        x_all = jnp.where(ui == 0, 0.0, x_all)
+        x_alls.append(x_all.astype(vdt))
+
+    def frame(pol, t):
+        """Frame (pol, t) as a padded (128, 128) voltage value —
+        STATIC slices of the whole-block converted values (a VMEM
+        scratch roundtrip here measured ~730 ns per frame READ, ~15 ms
+        per data-second; value slices are register/VMEM-local)."""
+        fr = jax.lax.slice(x_alls[pol], (t * P, 0), ((t + 1) * P, Q))
+        return jnp.pad(fr, ((0, LANE - P), (0, LANE - Q)))
+
+    w1cat = _b(w1cat_ref[...])                         # (128, 512)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    aligned = jnp.logical_and(row_iota % rw == 0, row_iota < P)
+
+    def stage1(xb, sr_scr, si_scr, b):
+        # on chip xb is already bf16 (phase 0); interpret keeps f32 and
+        # rounds here so CPU products match the chip bit-for-bit
+        xbb = _b(xb) if _interpret() else xb
+        z = _bdot00(w1cat, xbb)                # (512, q): 4 passes, 1 op
+        ar = jax.lax.slice(z, (0, 0), (LANE, LANE)) \
+            + jax.lax.slice(z, (LANE, 0), (2 * LANE, LANE))
+        ai = jax.lax.slice(z, (2 * LANE, 0), (3 * LANE, LANE)) \
+            + jax.lax.slice(z, (3 * LANE, 0), (4 * LANE, LANE))
+        # twiddle hoisted: stage 2 applies it whole-array (the per-b
+        # 6-op (128,128) twiddle dominated the loop's fixed cost)
+        sr_scr[pl.ds(b * LANE, LANE)] = ar
+        si_scr[pl.ds(b * LANE, LANE)] = ai
+
+    def win_stats(xb):
+        """(s2, s4) window-moment columns (LANE, 1), valid at rw-aligned
+        rows only (sublane roll-adds + lane reduction)."""
+        xb = xb.astype(jnp.float32)
+        x2 = xb * xb
+        x4 = x2 * x2
+        s2 = x2
+        s4 = x4
+        for sh in range(1, rw):
+            # pltpu.roll wants non-negative shifts: -sh == LANE - sh
+            s2 = s2 + pltpu.roll(x2, LANE - sh, 0)
+            s4 = s4 + pltpu.roll(x4, LANE - sh, 0)
+        return (jnp.sum(s2, axis=1, keepdims=True),
+                jnp.sum(s4, axis=1, keepdims=True))
+
+    def gates_for(ts_col, s2_cols, kur_cols):
+        """fine gate + block-stat fallback -> (gate col (LANE,1) at
+        aligned rows, weight (1,1))."""
+        fine_good = jnp.logical_and(ts_col < dag_thresh, aligned)
+        if dag_fb_thresh > 0:
+            wt = fine_good.astype(jnp.float32)
+            wsum = jnp.sum(wt, axis=0, keepdims=True)[:1]     # (1, 1)
+            psum = jnp.sum(wt * s2_cols, axis=0, keepdims=True)[:1]
+            qsum = jnp.sum(wt * kur_cols * s2_cols * s2_cols,
+                           axis=0, keepdims=True)[:1]
+            good_b = wsum > 0
+            pblk = jnp.where(good_b,
+                             psum / jnp.where(good_b, wsum, 1.0), 0.0)
+            kblk = jnp.where(good_b,
+                             qsum / jnp.where(good_b, wsum, 1.0)
+                             / jnp.where(good_b, pblk * pblk, 1.0), 0.0)
+            tsb = _ts(kblk, kb, dag_inf)                      # (1, 1)
+            return fine_good, tsb
+        return fine_good, None
+
+    inv_n = jnp.float32(1.0 / kf["n"])
+
+    def t_body(t, dag_acc):
+        # ---- RFI front: both pols' window moments -> shared gates ----
+        xbs = [frame(pol, t) for pol in range(npol)]
+        if has_kur:
+            cols = []
+            for xb in xbs:
+                s2, s4 = win_stats(xb)
+                m2 = s2 * inv_n
+                m4 = s4 * inv_n
+                kur = jnp.where(m2 == 0.0, 0.0,
+                                m4 / jnp.where(m2 == 0.0, 1.0, m2 * m2))
+                cols.append((_ts(kur, kf, dag_inf), m2, kur))
+            ts_col = cols[0][0]
+            if npol == 2:
+                ts_col = jnp.maximum(ts_col, cols[1][0])
+            fine0, tsb0 = gates_for(ts_col, cols[0][1], cols[0][2])
+            if dag_fb_thresh > 0:
+                tsb = tsb0
+                if npol == 2:
+                    _, tsb1 = gates_for(ts_col, cols[1][1], cols[1][2])
+                    tsb = jnp.maximum(tsb, tsb1)
+                gate = jnp.logical_and(
+                    fine0, _bcpb(tsb < dag_fb_thresh, LANE)[:, :1])
+            else:
+                gate = fine0
+            g = gate.astype(jnp.float32)                      # (LANE, 1)
+            w11 = jnp.sum(g, axis=0, keepdims=True)[:1] * (1.0 / nw)
+            for pol in range(npol):
+                w_scr[pl.ds(pol * tpp + t, 1)] = w11
+                w_ref[0, pl.ds(pol * tpp + t, 1)] = w11
+            dflag = jnp.where(aligned,
+                              (ts_col >= dag_thresh).astype(jnp.float32),
+                              0.0)
+            dag_acc = dag_acc + jnp.sum(dflag, axis=0,
+                                        keepdims=True)[:1] * (1.0 / nw)
+            # forward-fill the gate down each rw-row window
+            mask = g
+            sh = 1
+            while sh < rw:
+                mask = jnp.where(row_iota % (2 * sh) >= sh,
+                                 pltpu.roll(mask, sh, 0), mask)
+                sh *= 2
+        # ---- stage 1 + twiddle for both streams ----------------------
+        for pol in range(npol):
+            b = pol * tpp + t
+            xb = xbs[pol]
+            if has_plain:
+                stage1(xb, sra_scr, sia_scr, b)
+            if has_kur:
+                stage1(xb * mask.astype(xb.dtype), srb_scr, sib_scr, b)
+        return dag_acc
+
+    # statically unrolled: every conv/sr/si access gets a compile-time
+    # offset (dynamic-offset VMEM access was the loop's fixed cost)
+    dag_acc = jnp.zeros((1, 1), jnp.float32)
+    for _t in range(tpp):
+        dag_acc = t_body(_t, dag_acc)
+    if has_kur:
+        dag_ref[...] = jnp.broadcast_to(
+            (dag_acc * (1.0 / tpp))[None], (1, 1, LANE))
+    else:
+        w_ref[0] = jnp.ones((nb, 1), jnp.float32)
+        dag_ref[...] = jnp.zeros((1, 1, LANE), jnp.float32)
+
+    if debug_stop < 2:
+        return
+    # ---- stage 2: batched big dots + detect fold per stream -----------
+    w2ch = _b(w2ch_ref[...])
+    w2cl = _b(w2cl_ref[...])
+    sgn = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (nb * LANE, LANE), 1) < half,
+        jnp.float32(-1.0), jnp.float32(1.0))
+
+    twr_t = twrt_ref[...]                    # (nb*128, 128) tiled
+    twi_t = twit_ref[...]
+
+    def stage2(sr_scr, si_scr, pwr_scr):
+        ar = sr_scr[...]
+        ai = si_scr[...]
+        sr = ar * twr_t - ai * twi_t
+        si = ar * twi_t + ai * twr_t
+        rh, rl = _split(sr)
+        ih, il = _split(si)
+        A = _bdot(rh, w2ch) + _bdot(rh, w2cl) + _bdot(rl, w2ch)
+        B = _bdot(ih, w2ch) + _bdot(ih, w2cl) + _bdot(il, w2ch)
+        z = A + sgn * pltpu.roll(B, half, 1)
+        z = z * z
+        z = z + pltpu.roll(z, half, 1)
+        p = jax.lax.slice(z, (0, 0), (nb * LANE, half))
+        pwr_scr[...] = p.reshape(nb, LANE, half)
+
+    if has_plain:
+        stage2(sra_scr, sia_scr, pwra_scr)
+    if has_kur:
+        stage2(srb_scr, sib_scr, pwrb_scr)
+
+    if debug_stop < 3:
+        return
+    # ---- EMA + scrunches + quantize + pack (planes are (128, 64)) ----
+    packm = packm_ref[...]
+    rs = jnp.float32(1.0 / np.sqrt(nscrunch))
+    ps = jnp.float32(np.sqrt(0.5))
+
+    def quant_pack(ts_plane):
+        lev = ((ts_plane >= q0).astype(jnp.float32)
+               + (ts_plane >= q1).astype(jnp.float32)
+               + (ts_plane >= q2).astype(jnp.float32))
+        return jax.lax.dot_general(
+            packm, lev, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (32, 64)
+
+    def load_bp(slot):
+        carried = bp_scr[pl.ds(slot, 1)][0]
+        fresh = bp_in_ref[pl.ds(slot, 1)][0]
+        return jnp.where(i == 0, fresh, carried)
+
+    if has_plain:
+        def seg_mean(p):
+            def body(t, acc):
+                return acc + pwra_scr[pl.ds(p * tpp + t, 1)][0]
+            s = jax.lax.fori_loop(
+                0, tpp, body, jnp.zeros((LANE, half), jnp.float32))
+            return s * (1.0 / tpp)
+
+        def bp_for(p):
+            bp = load_bp(p)
+            seed = seg_mean(p)
+            seed = jnp.where(seed == 0.0, 1.0, seed)
+            return jnp.where(bp == 0.0, seed, bp)
+
+        bp0 = bp_for(0)
+        bp1 = bp_for(1) if npol == 2 else bp0
+
+        def out_body(o, carry):
+            b0, b1 = carry
+
+            def sub(t, c):
+                b0, b1, acc = c
+                tt = o * nscrunch + t
+                p0 = pwra_scr[pl.ds(tt, 1)][0]
+                b0n = scale * p0 + (1.0 - scale) * b0
+                v = p0 / b0n - 1.0
+                if npol == 2:
+                    p1 = pwra_scr[pl.ds(tpp + tt, 1)][0]
+                    b1n = scale * p1 + (1.0 - scale) * b1
+                    v = ps * (v + (p1 / b1n - 1.0))
+                else:
+                    b1n = b1
+                return b0n, b1n, acc + v
+
+            b0, b1, acc = jax.lax.fori_loop(
+                0, nscrunch, sub,
+                (b0, b1, jnp.zeros((LANE, half), jnp.float32)))
+            outp_ref[0, pl.ds(o, 1)] = quant_pack(acc * rs)[None]
+            return b0, b1
+
+        bp0, bp1 = jax.lax.fori_loop(0, nout, out_body, (bp0, bp1))
+        bp_scr[pl.ds(0, 1)] = bp0[None]
+        if npol == 2:
+            bp_scr[pl.ds(1, 1)] = bp1[None]
+
+    if has_kur:
+        koff = npol
+
+        def kseed(p):
+            def body(t, c):
+                s, ng = c
+                w = w_scr[pl.ds(p * tpp + t, 1)]
+                gsc = (w > 0.0).astype(jnp.float32)
+                inv = jnp.where(w > 0.0,
+                                1.0 / jnp.where(w > 0.0, w, 1.0), 0.0)
+                pw = pwrb_scr[pl.ds(p * tpp + t, 1)][0] * _bcpf(inv, LANE)
+                return s + pw, ng + gsc
+            s, ng = jax.lax.fori_loop(
+                0, tpp, body,
+                (jnp.zeros((LANE, half), jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32)))
+            seed = jnp.where(_bcpb(ng > 0, LANE),
+                             s * _bcpf(1.0 / jnp.maximum(ng, 1.0), LANE),
+                             1.0)
+            return seed, ng
+
+        def kbp_for(p):
+            bp = load_bp(koff + p)
+            seed, ng = kseed(p)
+            bp = jnp.where(bp == 0.0, seed, bp)
+            stale = jnp.logical_and(
+                _bcpb(ng > 0, LANE),
+                jnp.logical_or(seed > 5.0 * bp, seed < 0.2 * bp))
+            return jnp.where(stale, seed, bp)
+
+        kb0 = kbp_for(0)
+        kb1 = kbp_for(1) if npol == 2 else kb0
+
+        def kema_step(bp, p, w):
+            gok = w > 0.0
+            inv = jnp.where(gok, 1.0 / jnp.where(gok, w, 1.0), 0.0)
+            gokp = _bcpb(gok, LANE)
+            pw = p * _bcpf(inv, LANE)
+            clipped = pw > clip_ratio * bp
+            update = jnp.logical_and(gokp, jnp.logical_not(clipped))
+            bpn = jnp.where(update, scale * pw + (1.0 - scale) * bp, bp)
+            v = jnp.where(gokp,
+                          jnp.where(clipped, clip_value, pw / bpn - 1.0),
+                          0.0)
+            return bpn, v
+
+        def kout_body(o, carry):
+            b0, b1 = carry
+
+            def sub(t, c):
+                b0, b1, acc, cnt, wsum = c
+                tt = o * nscrunch + t
+                w0 = w_scr[pl.ds(tt, 1)]
+                b0n, v0 = kema_step(b0, pwrb_scr[pl.ds(tt, 1)][0], w0)
+                if npol == 2:
+                    w1 = w_scr[pl.ds(tpp + tt, 1)]
+                    b1n, v1 = kema_step(b1,
+                                        pwrb_scr[pl.ds(tpp + tt, 1)][0],
+                                        w1)
+                    g0 = w0 >= min_weight
+                    g1 = w1 >= min_weight
+                    both = jnp.logical_and(g0, g1)
+                    v = jnp.where(_bcpb(both, LANE), ps * (v0 + v1),
+                                  v0 * _bcpf(g0.astype(jnp.float32), LANE)
+                                  + v1 * _bcpf(g1.astype(jnp.float32),
+                                               LANE))
+                    wp = jnp.where(both, 0.5 * (w0 + w1),
+                                   w0 * g0.astype(jnp.float32)
+                                   + w1 * g1.astype(jnp.float32))
+                else:
+                    b1n, v, wp = b1, v0, w0
+                gt = (wp >= min_weight).astype(jnp.float32)
+                wg = wp * gt
+                return (b0n, b1n, acc + _bcpf(wg, LANE) * v, cnt + gt,
+                        wsum + wg)
+
+            z = jnp.zeros((1, 1), jnp.float32)
+            b0, b1, acc, cnt, wsum = jax.lax.fori_loop(
+                0, nscrunch, sub,
+                (b0, b1, jnp.zeros((LANE, half), jnp.float32), z, z))
+            ok = (wsum * (1.0 / nscrunch)) >= min_weight
+            ts_plane = jnp.where(
+                _bcpb(ok, LANE),
+                acc * _bcpf(1.0 / jnp.sqrt(jnp.maximum(cnt, 1.0)), LANE),
+                0.0)
+            outk_ref[0, pl.ds(o, 1)] = quant_pack(ts_plane)[None]
+            return b0, b1
+
+        kb0, kb1 = jax.lax.fori_loop(0, nout, kout_body, (kb0, kb1))
+        bp_scr[pl.ds(koff, 1)] = kb0[None]
+        if npol == 2:
+            bp_scr[pl.ds(koff + 1, 1)] = kb1[None]
+
+    @pl.when(i == nseg - 1)
+    def _():
+        bp_out_ref[...] = bp_scr[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nfft", "npol", "seg_per_sec", "nscrunch", "nkurto", "rfi_mode",
+    "scale", "dag_thresh", "dag_fb_thresh", "debug_stop"))
+def chain_second_v2(raw: jax.Array, bp_fact: jax.Array, nfft: int,
+                    npol: int, seg_per_sec: int, nscrunch: int,
+                    nkurto: int, rfi_mode: int, scale: float,
+                    dag_thresh: float, dag_fb_thresh: float,
+                    debug_stop: int = 99):
+    """Natural-layout full-chain megakernel (see section comment).
+
+    Same contract as chain_second, with TRANSPOSED planes: bp_fact is
+    (2*npol, 128, 64) [kA, kB] (bp_to_factored_v2); returns plain/kur
+    packed planes (nseg, nout, 32, 64) [g, kB], weights (nseg, nb, 1),
+    dag_frac (nseg, 1), new bp_fact.  No XLA prologue: the input is a
+    free reshape of the raw second.
+    """
+    from vlite_fast_tpu import constants as C
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    nout = ffts // nscrunch
+    pl_ = dft_planes_v2(nfft)
+    P, Q = pl_.P, pl_.Q
+    rw = nkurto // Q
+    nw = nfft // nkurto
+    if nkurto % Q or P % rw or rw & (rw - 1):
+        raise ValueError("megakernel v2 needs nkurto % Q == 0, "
+                         "P % rw == 0, rw a power of two")
+    kf = dict(C.dagostino_constants(nkurto))
+    kf["n"] = float(nkurto)
+    kb = dict(C.dagostino_constants(nfft))
+    packm = np.ascontiguousarray(_pack_matrix(P).T)       # (32, 128)
+    xs = natural_blocks(raw, nfft, npol, seg_per_sec)
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    const4 = lambda i: (0, i, 0, 0)
+    q0, q1, q2 = C.QUANT2_THRESH
+    half = LANE // 2
+    outs = pl.pallas_call(
+        functools.partial(
+            _full_kernel_v2, nb=nb, npol=npol, ffts=ffts, P=P, Q=Q,
+            nscrunch=nscrunch, nseg=seg_per_sec, rw=rw, nw=nw,
+            rfi_mode=rfi_mode, scale=float(scale),
+            q0=float(q0), q1=float(q1), q2=float(q2),
+            dag_thresh=float(dag_thresh),
+            dag_fb_thresh=float(dag_fb_thresh),
+            dag_inf=float(C.DAG_INF), kf=kf, kb=kb,
+            clip_ratio=float(C.BP_CLIP_RATIO),
+            clip_value=float(C.BP_CLIP_VALUE),
+            min_weight=float(C.MIN_WEIGHT), debug_stop=debug_stop),
+        grid=(seg_per_sec,),
+        in_specs=[
+            pl.BlockSpec((npol, 1, ffts * P, Q), const4),
+            pl.BlockSpec((LANE, 4 * LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((32, LANE), const),
+            pl.BlockSpec((2 * npol, LANE, half), const3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nout, 32, half), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nout, 32, half), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2 * npol, LANE, half), const3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_per_sec, nout, 32, half),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, nout, 32, half),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, 1, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((2 * npol, LANE, half), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # sr plain
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # si plain
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # sr kur
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # si kur
+            pltpu.VMEM((nb, LANE, half), jnp.float32),    # pwr plain
+            pltpu.VMEM((nb, LANE, half), jnp.float32),    # pwr kur
+            pltpu.VMEM((2 * npol, LANE, half), jnp.float32),
+            pltpu.VMEM((nb, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xs, jnp.asarray(pl_.w1cat),
+      jnp.asarray(np.tile(pl_.twr, (nb, 1))),
+      jnp.asarray(np.tile(pl_.twi, (nb, 1))),
+      jnp.asarray(pl_.w2c_hi), jnp.asarray(pl_.w2c_lo),
+      jnp.asarray(packm), bp_fact)
+    pp, kk, w, dag3, bp_new = outs
+    return pp, kk, w, dag3[:, 0, :1], bp_new
+
+
+def bp_to_factored_v2(bp: jax.Array, nfft: int) -> jax.Array:
+    """(npol, nchan) -> (npol, 128, 64) [kA, kB] plane: the transpose
+    of bp_to_factored's [kB, kA] plane (identical channel mapping
+    k = kA + P*kB)."""
+    return jnp.swapaxes(bp_to_factored(bp, nfft), -1, -2)
+
+
+def bp_from_factored_v2(bpf: jax.Array, nfft: int, nchan: int) -> jax.Array:
+    return bp_from_factored(jnp.swapaxes(bpf, -1, -2), nfft, nchan)
+
+
+def unfactor_pack_realign_v2(planes: jax.Array, nfft: int, chanmin: int,
+                             chanmax: int) -> jax.Array:
+    """v2 packed planes (nseg, nout, 32, 64) [g, kB] -> (nsamps, nbytes)
+    uint8: byte c = g + (P/4)*kB is the identical byte semantics of the
+    original kernel's [kB, g] planes, so one tiny swapaxes reuses the
+    whole realign path."""
+    return unfactor_pack_realign(jnp.swapaxes(planes, -1, -2), nfft,
+                                 chanmin, chanmax)
