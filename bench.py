@@ -149,9 +149,13 @@ def main():
 
     # the injection-free twin the pipeline actually dispatches outside
     # the ~2 s post-arm window (58 of every 60 s; host-side gating in
-    # StationPipeline.feed_second)
+    # StationPipeline.feed_second).  Mirrors the pipeline's resolution:
+    # on TPU, twin_chain_impl='auto' adopts the natural-layout
+    # megakernel (chain_impl='megakernel2', 1.21x the XLA chain)
     import dataclasses
-    cfg_off = dataclasses.replace(cfg, inject_frb=False)
+    twin_impl = dsp.resolve_twin_impl(cfg)
+    cfg_off = dataclasses.replace(cfg, inject_frb=False,
+                                  chain_impl=twin_impl)
     st2 = jax.device_put(dsp.init_state(cfg_off), dev)
     out2, st2 = dsp.process_second(cfg_off, staged[0], st2, arm)
     _ = np.asarray(out2.packed_kur)
@@ -163,16 +167,25 @@ def main():
     dsp_rt_gated = 10 / (time.perf_counter() - t0)
 
     # ON-TPU A/B assertion (ADVICE r3 #2): both loops ran the identical
-    # un-armed input sequence, so the injection-armed program and its
-    # injection-free twin must agree BYTE-exactly on the packed output —
-    # the invariant StationPipeline's host gating relies on.  Compared on
-    # device; only the verdict bit crosses the tunnel.
-    twin_parity = bool(jnp.all(out.packed_kur == out2.packed_kur)) and \
-        bool(jnp.all(st.bp_kur == st2.bp_kur))
-    if not twin_parity:
+    # un-armed input sequence.  When the twin runs the SAME chain_impl
+    # the agreement must be BYTE-exact (the original host-gating
+    # invariant); when the twin is the megakernel its EMA is
+    # sequential-exact rather than the chain's closed-form 'matmul', so
+    # the contract is the kernel's parity bar: >= 99.99% of 2-bit
+    # levels (measured 99.9989%, bench_megakernel_full_tpu.py).
+    # Compared on device; only the fraction crosses the tunnel.
+    from vlite_fast_tpu.ops import quantize as q_ops
+    lev_a = q_ops.unpack_bits(out.packed_kur, 2).astype(jnp.int32)
+    lev_b = q_ops.unpack_bits(out2.packed_kur, 2).astype(jnp.int32)
+    twin_agreement = float(jnp.mean((lev_a == lev_b).astype(jnp.float32)))
+    twin_parity = twin_agreement == 1.0
+    bar = 1.0 if twin_impl == cfg.chain_impl else 0.9999
+    if twin_agreement < bar:
         raise AssertionError(
-            "injection-armed program and injection-free twin diverged on "
-            "packed bytes — host gating (pipeline.feed_second) is unsound")
+            f"injection-armed program and injection-free twin "
+            f"({twin_impl}) agree on only {twin_agreement:.6f} of 2-bit "
+            f"levels (bar {bar}) — host gating (pipeline.feed_second) "
+            "is unsound")
 
     # blended steady-state rate (VERDICT r4 #9): the armed (slower)
     # program runs inject_window_seconds of every INJECT_PERIOD_S; a
@@ -301,6 +314,8 @@ def main():
         "dsp_only_rt_factor_gated": round(dsp_rt_gated, 3),
         "dsp_only_rt_factor_blended": round(dsp_rt_blended, 3),
         "twin_byte_parity": twin_parity,
+        "twin_agreement": round(twin_agreement, 6),
+        "twin_chain_impl": twin_impl,
         "value_tolgrid": None if value_tolgrid is None
         else round(value_tolgrid, 3),
         "tolgrid_trials": tol_trials,

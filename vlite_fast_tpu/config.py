@@ -173,6 +173,24 @@ class PipelineConfig:
                                    # benchmarks/bench_pretranspose_tpu):
                                    # stage 1 per-frame aT.b dots,
                                    # stage 2 one batched dot/stream.
+                                   # Measured 36.8 vs 44.4 ms/data-s
+                                   # (1.21x, bench_megakernel_full_tpu).
+    twin_chain_impl: str = "auto"  # chain_impl for the pipeline's
+                                   # INJECTION-FREE twin program (the
+                                   # 58-of-60-seconds path, host gating
+                                   # in runtime/pipeline.feed_second):
+                                   # 'auto' = 'megakernel2' on the TPU
+                                   # backend when the geometry supports
+                                   # it (the measured 1.21x), else the
+                                   # chain_impl; 'same' = always mirror
+                                   # chain_impl (restores byte-exact
+                                   # armed/twin parity); or an explicit
+                                   # chain_impl value.  The megakernel
+                                   # twin agrees with the armed XLA
+                                   # program at >= 99.99% of 2-bit
+                                   # levels (not byte-exact: its EMA is
+                                   # sequential-exact, the chain's
+                                   # 'matmul' EMA closed-form).
     dag_thresh: float = C.DAG_THRESH
     dag_fb_thresh: float = C.DAG_FB_THRESH  # block-scale TS gate (live:
                                    # zero-weights whole FFT blocks; the

@@ -408,6 +408,27 @@ def _finish_stream(cfg: PipelineConfig, out: jax.Array,
     return q_ops.sel_and_dig(out, cfg.chanmin, cfg.chanmax, cfg.nbit)
 
 
+def resolve_twin_impl(cfg: PipelineConfig) -> str:
+    """chain_impl for the pipeline's injection-free twin program
+    (config.twin_chain_impl semantics: 'auto' adopts the natural-layout
+    megakernel on the TPU backend when the geometry supports it — the
+    measured 1.21x of bench_megakernel_full_tpu.py — and keeps the XLA
+    chain elsewhere, so CPU tests stay byte-exact and fast)."""
+    import dataclasses
+
+    t = cfg.twin_chain_impl
+    if t == "same":
+        return cfg.chain_impl
+    if t == "auto":
+        import jax
+        cand = dataclasses.replace(cfg, inject_frb=False,
+                                   chain_impl="megakernel2")
+        if jax.default_backend() == "tpu" and megakernel_supported(cand):
+            return "megakernel2"
+        return cfg.chain_impl
+    return t
+
+
 def megakernel_supported(cfg: PipelineConfig) -> bool:
     """Geometry/config gate for chain_impl='megakernel' (the injection
     path always uses the XLA chain — host gating keeps the armed window
