@@ -344,7 +344,25 @@ class SearchConfig:
                                    # count follows dm_tol.  'linear': ndm
                                    # fixed trials (tests/benchmarks).
     dm_tol: float = 1.25           # S/N loss tolerance setting the DM grid
-    gulp_samps: int = 30720        # samples per search gulp (24 s)
+    gulp_samps: int = 15360        # samples per search gulp (12 s).
+                                   # Re-decided from measurement after
+                                   # the round-5 chain+dedisp speedups
+                                   # (benchmarks/bench_gulpsize_tpu.py):
+                                   #   gulp_s  cost/gulp  ms/data-s  latency
+                                   #   24.0    0.127      5.3        32.8
+                                   #   12.0    0.098      8.2        20.8
+                                   #   8.0     0.083      10.4       16.8
+                                   #   6.0     0.076      12.7       14.8
+                                   #   3.0     0.066      22.1       11.8
+                                   # 12 s keeps ~94% of station
+                                   # capacity while the candidate-
+                                   # latency bound (gulp + DM-1000
+                                   # sweep) drops 32.8 -> 20.8 s data-
+                                   # time — less than half the
+                                   # reference's 40-50 s (ref
+                                   # src/trigger.py:164-166; heimdall
+                                   # used 24 s gulps,
+                                   # scripts/start_heimdall_single_antenna:21)
     boxcar_max: int = 64           # max matched-filter width (power-of-2 set)
     snr_thresh: float = 6.0        # per-beam candidate threshold
     zap_ranges: Tuple[Tuple[int, int], ...] = ((0, 190), (3900, 4096))
@@ -384,15 +402,15 @@ class SearchConfig:
 
     @classmethod
     def low_latency(cls, **overrides) -> "SearchConfig":
-        """6 s gulps instead of 24 s: the candidate-latency bound drops
-        from 36.4 s to 18.4 s data-time (gulp + DM-1000 overlap; the
-        reference documents 40-50 s, src/trigger.py:164-166) and the
-        voltage-dump margin against the 32-60 s ring depth widens
+        """6 s gulps instead of the default 12 s: the candidate-latency
+        bound drops 20.8 -> 14.8 s data-time (gulp + DM-1000 overlap;
+        the reference documents 40-50 s, src/trigger.py:164-166) and
+        the voltage-dump margin against the 32-60 s ring depth widens
         correspondingly (scripts/start_writer:12).  Measured on-chip
-        (benchmarks/bench_lowlat_tpu.py): search cost rises from 9.2 to
-        23.5 ms per data-second (the DM-1000 overlap is re-dedispersed
-        every gulp), i.e. station capacity ~14.3 -> ~12 antennas/chip —
-        the trade a latency-sensitive deployment makes.
+        with the fold engine (benchmarks/bench_gulpsize_tpu.py): search
+        cost rises from 8.2 to 12.7 ms per data-second (the DM-1000
+        overlap is re-dedispersed every gulp) — the trade a
+        latency-sensitive deployment makes.
         """
         kw = dict(gulp_samps=7680)
         kw.update(overrides)
