@@ -1138,19 +1138,27 @@ def _full_kernel_v2(u_ref, w1cat_ref,
         ui = u_ref[pol, 0].astype(jnp.int32)           # (ffts*P, Q)
         x_all = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
         x_all = jnp.where(ui == 0, 0.0, x_all)
+        # lane-pad ONCE for the whole block; frames are then pure row
+        # slices with NO per-frame pad (the per-frame (100,125)->
+        # (128,128) pad-concat was a relayout on every frame)
+        x_all = jnp.pad(x_all, ((0, 0), (0, LANE - Q)))
         x_alls.append(x_all.astype(vdt))
 
     def frame(pol, t):
-        """Frame (pol, t) as a padded (128, 128) voltage value —
-        STATIC slices of the whole-block converted values (a VMEM
-        scratch roundtrip here measured ~730 ns per frame READ, ~15 ms
-        per data-second; value slices are register/VMEM-local)."""
-        fr = jax.lax.slice(x_alls[pol], (t * P, 0), ((t + 1) * P, Q))
-        return jnp.pad(fr, ((0, LANE - P), (0, LANE - Q)))
+        """Frame (pol, t) as a (P, 128) voltage value — STATIC row
+        slices of the whole-block converted values (a VMEM scratch
+        roundtrip here measured ~730 ns per frame READ; value slices
+        are register-local).  Rows are NOT padded to 128: the stage-1
+        contraction runs at K=P against the P valid rows of w1cat
+        (its rows >= P are zero, so the products are identical)."""
+        return jax.lax.slice(x_alls[pol], (t * P, 0),
+                             ((t + 1) * P, LANE))
 
-    w1cat = _b(w1cat_ref[...])                         # (128, 512)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-    aligned = jnp.logical_and(row_iota % rw == 0, row_iota < P)
+    # restrict the stage-1 constant to the P valid contraction rows so
+    # unpadded (P, 128) frames feed the dot directly
+    w1cat = _b(jax.lax.slice(w1cat_ref[...], (0, 0), (P, 4 * LANE)))
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    aligned = (row_iota % rw == 0)
 
     def stage1(xb, sr_scr, si_scr, b):
         # on chip xb is already bf16 (phase 0); interpret keeps f32 and
@@ -1175,9 +1183,11 @@ def _full_kernel_v2(u_ref, w1cat_ref,
         s2 = x2
         s4 = x4
         for sh in range(1, rw):
-            # pltpu.roll wants non-negative shifts: -sh == LANE - sh
-            s2 = s2 + pltpu.roll(x2, LANE - sh, 0)
-            s4 = s4 + pltpu.roll(x4, LANE - sh, 0)
+            # pltpu.roll wants non-negative shifts: -sh == P - sh here
+            # (rolls act on the P-row frames; aligned window rows
+            # r <= P-rw never read wrapped rows)
+            s2 = s2 + pltpu.roll(x2, P - sh, 0)
+            s4 = s4 + pltpu.roll(x4, P - sh, 0)
         return (jnp.sum(s2, axis=1, keepdims=True),
                 jnp.sum(s4, axis=1, keepdims=True))
 
@@ -1225,7 +1235,7 @@ def _full_kernel_v2(u_ref, w1cat_ref,
                     _, tsb1 = gates_for(ts_col, cols[1][1], cols[1][2])
                     tsb = jnp.maximum(tsb, tsb1)
                 gate = jnp.logical_and(
-                    fine0, _bcpb(tsb < dag_fb_thresh, LANE)[:, :1])
+                    fine0, _bcpb(tsb < dag_fb_thresh, P)[:, :1])
             else:
                 gate = fine0
             g = gate.astype(jnp.float32)                      # (LANE, 1)
