@@ -1050,8 +1050,9 @@ class DFTPlanesV2(NamedTuple):
                          # 256-small-dots/segment stage-1 measured
                          # 216 ns/dot; lane-concatenation quarters the
                          # op count at identical products + add order)
-    twr: np.ndarray      # (128, 128) twiddle [kA, q] (un-tiled)
-    # (see w1cat)
+    twr: np.ndarray      # (128, 128) twiddle [kA, q] (un-tiled; the
+                         # wrapper tiles it (nb*128, 128) for the
+                         # whole-array stage-2 application)
     twi: np.ndarray
     w2c_hi: np.ndarray   # (128, 128) [w2r | w2i] packed halves [q, kB]
     w2c_lo: np.ndarray
