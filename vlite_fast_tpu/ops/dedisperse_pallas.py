@@ -387,6 +387,12 @@ def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
         out_shape=jax.ShapeDtypeStruct((nbatch, nsub, 2 * ncol - 1, LANE),
                                        jnp.float32),
         interpret=_interpret(),
+        # nsub < 128 widens the per-subband fb block past the 16 MB
+        # default scoped-VMEM limit (w * ncol_in * 128 * 4, double-
+        # buffered); the chip has headroom (the megakernel runs at
+        # ~30 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(rel, fbf)
 
     pbc, sc = _stage2_fold_tiles(ncol, per_batch, nsub, sub_chunk)
@@ -410,6 +416,8 @@ def dedisperse_pallas(fb: jax.Array, plan: DedispPlan, ntime_out: int,
         out_shape=jax.ShapeDtypeStruct((nbatch * npbc, pbc, ncol, LANE),
                                        jnp.float32),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(subd.astype(jnp.int32), y)
 
     # refold lane-major -> flat time: dmt[dm, l*ncol + i] = out[dm, i, l]
