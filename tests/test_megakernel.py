@@ -280,3 +280,37 @@ def test_v2_via_process_second_and_carry():
     bp_r, bp_m = np.asarray(st_r.bp_kur), np.asarray(st_m.bp_kur)
     rel = np.abs(bp_m - bp_r) / np.maximum(np.abs(bp_r), 1e-6)
     assert rel.max() < 1e-4
+
+
+def test_pallas_pretranspose_matches_xla():
+    """The MXU identity-dot relayout is byte-identical to pretranspose_u8
+    (u8 out) and value-identical to its converted voltages (bf16 out)."""
+    cfg = _cfg()
+    raw = jnp.asarray(_raw(cfg, seed=21))
+    ref = np.asarray(mk.pretranspose_u8(raw, NFFT, 2, NSEG))
+    got = np.asarray(mk.pallas_pretranspose(raw, NFFT, 2, NSEG))
+    assert got.dtype == np.uint8
+    assert np.array_equal(ref, got)
+
+    vb = np.asarray(mk.pallas_pretranspose(
+        raw, NFFT, 2, NSEG, out_dtype=jnp.bfloat16)).astype(np.float32)
+    ui = ref.astype(np.int32)
+    want = ui.astype(np.float32) * (1.0 / 128.0) - 1.0
+    want = np.where(ui == 0, 0.0, want)
+    assert np.array_equal(vb, want)     # voltages are bf16-exact
+
+
+def test_chain_second_pallas_pretranspose_byte_exact():
+    """chain_second with pretranspose='pallas'/'pallas_bf16' is
+    byte-exact vs the XLA-pretranspose kernel (dual stream, carries)."""
+    raw = jnp.asarray(_raw(_cfg(), seed=22))
+    cfg = _cfg()
+    bp0 = mk.bp_to_factored(jnp.zeros((4, cfg.nchan), jnp.float32), NFFT)
+    args = (raw, bp0, NFFT, 2, NSEG, cfg.nscrunch, cfg.nkurto, 2,
+            float(cfg.bp_scale), float(cfg.dag_thresh),
+            float(cfg.dag_fb_thresh))
+    ref = mk.chain_second(*args)
+    for mode in ("pallas", "pallas_bf16"):
+        got = mk.chain_second(*args, pretranspose=mode)
+        for r, g in zip(ref, got):
+            assert np.array_equal(np.asarray(r), np.asarray(g)), mode

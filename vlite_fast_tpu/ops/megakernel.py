@@ -150,6 +150,94 @@ def pretranspose_u8(raw: jax.Array, nfft: int, npol: int,
     return f.reshape(seg_per_sec, npol * ffts * LANE, LANE)
 
 
+# ---------------------------------------------------------------------------
+# Pallas pretranspose (round 5b): break the 18 ms XLA u8-relayout wall
+# ---------------------------------------------------------------------------
+#
+# bench_pretranspose_tpu.py showed EVERY XLA formulation of the
+# (npol, nsamp) -> kernel-layout relayout costs ~18 ms/data-second
+# (XLA u8 data movement runs ~19 GB/s effective on this chip) — the
+# reason the pretransposed chain_second lost to the natural-layout v2
+# despite a faster kernel.  This kernel does the same relayout on the
+# MXU instead: read the NATURAL segment block (free reshape, the v2
+# trick), then transpose each (P, Q) frame with ONE identity dot
+#
+#     y = x^T = dot_general(x, I_P, contract dim0 of both)
+#
+# — exact, because u8 values (<= 255) and converted voltages k/128 - 1
+# are bf16-representable, so every bf16 product is a single
+# zero-or-value term accumulated in f32.  One MXU tile per frame per
+# pol vs the four the v2 stage-1 pays, and HBM moves exactly
+# read-once/write-once.  Output is byte-identical to pretranspose_u8
+# (out_dtype=uint8) or the converted bf16 voltages (out_dtype=bfloat16,
+# skipping the main kernel's convert phase).
+#
+# Ref: same relayout role as pretranspose_u8 above (the reference keeps
+# frames contiguous and lets cuFFT stride instead: src/process_baseband
+# .cu:1108-1360; striding is free on a load-coalescing GPU, a relayout
+# on a tiled TPU).
+
+
+def _pretranspose_kernel(u_ref, ident_ref, out_ref, *, npol: int,
+                         ffts: int, P: int, Q: int, convert: bool):
+    """One segment: natural (pol, ffts*P, Q) u8 -> kernel layout
+    ((pol*ffts + t)*128 + m2, m1) rows, one MXU identity dot per frame."""
+    vdt = jnp.float32 if _interpret() else jnp.bfloat16
+    ident = ident_ref[...]                       # (P, LANE) f32 eye
+    identb = _b(ident)
+    for pol in range(npol):
+        ui = u_ref[pol, 0].astype(jnp.int32)     # (ffts*P, Q)
+        x = ui.astype(jnp.float32)
+        if convert:
+            x = x * (1.0 / 128.0) - 1.0
+            x = jnp.where(ui == 0, 0.0, x)
+        # lane-pad once for the whole block (as chain_second_v2 does)
+        x = jnp.pad(x, ((0, 0), (0, LANE - Q))).astype(vdt)
+        for t in range(ffts):
+            xb = jax.lax.slice(x, (t * P, 0), ((t + 1) * P, LANE))
+            xbb = _b(xb) if _interpret() else xb
+            y = _bdot00(xbb, identb)             # (128, 128) f32 = xb^T
+            b = pol * ffts + t
+            out_ref[0, pl.ds(b * LANE, LANE)] = y.astype(out_ref.dtype)
+
+
+def pallas_pretranspose(raw: jax.Array, nfft: int, npol: int,
+                        seg_per_sec: int, out_dtype=jnp.uint8) -> jax.Array:
+    """(npol, nsamp) uint8 -> (nseg, nb*128, 128) kernel-layout blocks
+    via the per-frame MXU identity-dot transpose (see section comment).
+
+    out_dtype uint8: byte-identical to pretranspose_u8 (raw bytes move).
+    out_dtype bfloat16: CONVERTED voltages k/128 - 1 with the u8==0
+    zero flag applied (bf16-exact), so the main kernel skips phase 0.
+    """
+    n1, n2 = ch_ops._ct_split(nfft)
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    ident = np.zeros((n1, LANE), np.float32)
+    ident[:, :n1] = np.eye(n1, dtype=np.float32)
+    xs = raw.reshape(npol, seg_per_sec, ffts * n1, n2)
+    convert = out_dtype != jnp.uint8
+    return pl.pallas_call(
+        functools.partial(_pretranspose_kernel, npol=npol, ffts=ffts,
+                          P=n1, Q=n2, convert=convert),
+        grid=(seg_per_sec,),
+        in_specs=[
+            pl.BlockSpec((npol, 1, ffts * n1, n2),
+                         lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((n1, LANE), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nb * LANE, LANE),
+                               lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (seg_per_sec, nb * LANE, LANE), out_dtype),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xs, jnp.asarray(ident))
+
+
 def _b(v):
     """Cast an MXU operand for one bf16 pass.  On CPU (interpret mode)
     XLA has no bf16 x bf16 dot — round to bf16-representable values but
@@ -603,9 +691,15 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
     has_plain = rfi_mode != 1
     has_kur = rfi_mode != 0
 
-    ui = u_ref[0].astype(jnp.int32)
-    x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
-    x = jnp.where(ui == 0, 0.0, x)
+    if u_ref.dtype == jnp.uint8:
+        ui = u_ref[0].astype(jnp.int32)
+        x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+        x = jnp.where(ui == 0, 0.0, x)
+    else:
+        # pallas_pretranspose(out_dtype=bf16) already converted and
+        # zero-flagged; voltages k/128 - 1 are bf16-exact, so this is
+        # byte-identical to the u8 phase 0
+        x = u_ref[0].astype(jnp.float32)
 
     consts = (_b(w1rh_ref[...]), _b(w1rl_ref[...]),
               _b(w1ih_ref[...]), _b(w1il_ref[...]),
@@ -845,16 +939,22 @@ def _full_kernel(u_ref, w1rh_ref, w1rl_ref, w1ih_ref, w1il_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "nfft", "npol", "seg_per_sec", "nscrunch", "nkurto", "rfi_mode",
-    "scale", "dag_thresh", "dag_fb_thresh"))
+    "scale", "dag_thresh", "dag_fb_thresh", "pretranspose"))
 def chain_second(raw: jax.Array, bp_fact: jax.Array, nfft: int,
                  npol: int, seg_per_sec: int, nscrunch: int,
                  nkurto: int, rfi_mode: int, scale: float,
-                 dag_thresh: float, dag_fb_thresh: float):
+                 dag_thresh: float, dag_fb_thresh: float,
+                 pretranspose: str = "xla"):
     """Full-chain megakernel: one second, rfi_mode 0/1/2.
 
     raw: (npol, nsamp) uint8.  bp_fact: (2*npol, 64, 128) factored
     bandpass carries — slots [0, npol) plain stream, [npol, 2*npol)
     kurtosis stream (see bp_to_factored).
+
+    pretranspose: 'xla' (the ~18 ms/data-s XLA u8 relayout), 'pallas'
+    (MXU identity-dot relayout, u8 blocks — byte-identical input), or
+    'pallas_bf16' (same, shipping converted bf16 voltages so the main
+    kernel skips phase 0).  All three produce byte-identical outputs.
 
     Returns (plain planes (nseg, nout, 64, 32) f32, kur planes same,
     weights (nseg, nb, 1) f32 — rows are b = pol*ffts + t, identical
@@ -877,7 +977,12 @@ def chain_second(raw: jax.Array, bp_fact: jax.Array, nfft: int,
     kf["n"] = float(nkurto)
     kb = dict(C.dagostino_constants(nfft))
     packm = _pack_matrix(n1)
-    xs = pretranspose_u8(raw, nfft, npol, seg_per_sec)
+    if pretranspose == "xla":
+        xs = pretranspose_u8(raw, nfft, npol, seg_per_sec)
+    else:
+        odt = jnp.bfloat16 if pretranspose == "pallas_bf16" else jnp.uint8
+        xs = pallas_pretranspose(raw, nfft, npol, seg_per_sec,
+                                 out_dtype=odt)
     const = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
     q0, q1, q2 = C.QUANT2_THRESH
