@@ -39,7 +39,13 @@ cfgs = {
     "xla_scan": PipelineConfig(ema_impl="scan"),
     "megakernel": PipelineConfig(chain_impl="megakernel"),
     "megakernel2": PipelineConfig(chain_impl="megakernel2"),
+    "megakernel3": PipelineConfig(chain_impl="megakernel3"),
+    "megakernel3f": PipelineConfig(chain_impl="megakernel3f"),
 }
+only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+if only:
+    cfgs = {k: v for k, v in cfgs.items()
+            if k in only or k in ("xla", "xla_scan")}
 raw = rng.integers(1, 256, size=(2, cfgs["xla"].sample_rate),
                    dtype=np.uint8)
 raw_d = jax.device_put(jnp.asarray(raw), dev)
@@ -64,6 +70,45 @@ for name, cfg in cfgs.items():
     results[name] = (ms, out, st)
     print(f"{name}: {ms:.1f} ms/data-s  checksum {chk}", flush=True)
 
+# ---- on-device 2-bit agreement ----------------------------------------
+for which in ("megakernel", "megakernel2", "megakernel3", "megakernel3f"):
+    if which not in results:
+        continue
+    om = results[which][1]
+    for base in ("xla", "xla_scan"):
+        ox = results[base][1]
+        for stream in ("packed", "packed_kur"):
+            lx = q_ops.unpack_bits(getattr(ox, stream), 2).astype(jnp.int32)
+            lm = q_ops.unpack_bits(getattr(om, stream), 2).astype(jnp.int32)
+            agree = float(jnp.mean((lx == lm).astype(jnp.float32)))
+            print(f"2-bit agreement {which} vs {base} [{stream}]: "
+                  f"{agree:.6f}", flush=True)
+    print(f"{which} speedup vs default chain: "
+          f"{results['xla'][0]/results[which][0]:.2f}x", flush=True)
+
+# ---- Pallas-pretranspose primitive timing -----------------------------
+_c0 = cfgs["xla"]
+for mode, odt in (("pallas-u8", jnp.uint8), ("pallas-bf16", jnp.bfloat16)):
+    try:
+        pp = jax.jit(lambda r, o=odt: mk.pallas_pretranspose(
+            r, _c0.nfft, _c0.npol_in, _c0.seg_per_sec, out_dtype=o))
+        t0 = time.perf_counter()
+        ys = pp(raw_d)
+        float(jnp.sum(ys[0, :4].astype(jnp.float32)))
+        print(f"pretranspose[{mode}]: compile+run "
+              f"{time.perf_counter()-t0:.1f} s", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ys = pp(raw_d)
+        float(jnp.sum(ys[0, :4].astype(jnp.float32)))
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"pretranspose[{mode}]: {ms:.2f} ms/data-s", flush=True)
+    except Exception as e:
+        print(f"pretranspose[{mode}]: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+if "megakernel" not in cfgs:
+    sys.exit(0)
 # ---- megakernel stage-split timing ------------------------------------
 cfg = cfgs["megakernel"]
 bpf = jnp.concatenate([
@@ -107,16 +152,3 @@ unf_ms = (time.perf_counter() - t0) / iters * 1e3 / 2
 print(f"split: pretranspose {pre_ms:.1f}  kernel(incl pre) {kern_ms:.1f}  "
       f"unfactor-pack {unf_ms:.1f} ms (x2 streams)", flush=True)
 
-# ---- on-device 2-bit agreement ----------------------------------------
-for which in ("megakernel", "megakernel2"):
-    om = results[which][1]
-    for base in ("xla", "xla_scan"):
-        ox = results[base][1]
-        for stream in ("packed", "packed_kur"):
-            lx = q_ops.unpack_bits(getattr(ox, stream), 2).astype(jnp.int32)
-            lm = q_ops.unpack_bits(getattr(om, stream), 2).astype(jnp.int32)
-            agree = float(jnp.mean((lx == lm).astype(jnp.float32)))
-            print(f"2-bit agreement {which} vs {base} [{stream}]: "
-                  f"{agree:.6f}", flush=True)
-    print(f"{which} speedup vs default chain: "
-          f"{results['xla'][0]/results[which][0]:.2f}x", flush=True)

@@ -469,7 +469,17 @@ def _megakernel_second(cfg: PipelineConfig, raw_second: jax.Array,
     v2 = cfg.chain_impl == "megakernel2"
     to_fact = mk.bp_to_factored_v2 if v2 else mk.bp_to_factored
     from_fact = mk.bp_from_factored_v2 if v2 else mk.bp_from_factored
-    chain = mk.chain_second_v2 if v2 else mk.chain_second
+    if v2:
+        chain = mk.chain_second_v2
+    elif cfg.chain_impl in ("megakernel3", "megakernel3f"):
+        # pretransposed-layout kernel fed by the Pallas MXU relayout
+        # (u8 blocks / converted bf16 voltages) instead of the ~18
+        # ms/data-s XLA u8 relayout — byte-identical outputs
+        pre = "pallas" if cfg.chain_impl == "megakernel3" \
+            else "pallas_bf16"
+        chain = partial(mk.chain_second, pretranspose=pre)
+    else:
+        chain = mk.chain_second
     unfact = mk.unfactor_pack_realign_v2 if v2 \
         else mk.unfactor_pack_realign
     since = jnp.where(arm_inject, jnp.int32(0), state.segs_since_inject)
@@ -520,7 +530,8 @@ def process_second(cfg: PipelineConfig, raw_second: jax.Array,
     second in one Pallas launch (injection-free programs only; armed
     programs keep the XLA chain via the host gate).
     """
-    if cfg.chain_impl in ("megakernel", "megakernel2"):
+    if cfg.chain_impl in ("megakernel", "megakernel2", "megakernel3",
+                          "megakernel3f"):
         if not megakernel_supported(cfg):
             raise ValueError(
                 f"chain_impl={cfg.chain_impl!r} unsupported for this "
