@@ -88,10 +88,14 @@ for which in ("megakernel", "megakernel2", "megakernel3", "megakernel3f"):
 
 # ---- Pallas-pretranspose primitive timing -----------------------------
 _c0 = cfgs["xla"]
-for mode, odt in (("pallas-u8", jnp.uint8), ("pallas-bf16", jnp.bfloat16)):
+for mode, odt, impl in (("pallas-u8", jnp.uint8, "mxu"),
+                        ("pallas-bf16", jnp.bfloat16, "mxu"),
+                        ("pallas-u8-xlu", jnp.uint8, "xlu"),
+                        ("pallas-bf16-xlu", jnp.bfloat16, "xlu")):
     try:
-        pp = jax.jit(lambda r, o=odt: mk.pallas_pretranspose(
-            r, _c0.nfft, _c0.npol_in, _c0.seg_per_sec, out_dtype=o))
+        pp = jax.jit(lambda r, o=odt, im=impl: mk.pallas_pretranspose(
+            r, _c0.nfft, _c0.npol_in, _c0.seg_per_sec, out_dtype=o,
+            impl=im))
         t0 = time.perf_counter()
         ys = pp(raw_d)
         float(jnp.sum(ys[0, :4].astype(jnp.float32)))

@@ -175,6 +175,12 @@ class PipelineConfig:
                                    # stage 2 one batched dot/stream.
                                    # Measured 36.8 vs 44.4 ms/data-s
                                    # (1.21x, bench_megakernel_full_tpu).
+                                   # 'megakernel3'/'megakernel3f': the
+                                   # pretransposed kernel fed by the
+                                   # Pallas MXU relayout instead of the
+                                   # 18 ms XLA one (u8 blocks / bf16
+                                   # converted voltages); byte-exact
+                                   # vs 'megakernel'.
     twin_chain_impl: str = "auto"  # chain_impl for the pipeline's
                                    # INJECTION-FREE twin program (the
                                    # 58-of-60-seconds path, host gating

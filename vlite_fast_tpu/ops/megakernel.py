@@ -179,30 +179,45 @@ def pretranspose_u8(raw: jax.Array, nfft: int, npol: int,
 
 
 def _pretranspose_kernel(u_ref, ident_ref, out_ref, *, npol: int,
-                         ffts: int, P: int, Q: int, convert: bool):
+                         ffts: int, P: int, Q: int, convert: bool,
+                         impl: str):
     """One segment: natural (pol, ffts*P, Q) u8 -> kernel layout
-    ((pol*ffts + t)*128 + m2, m1) rows, one MXU identity dot per frame."""
+    ((pol*ffts + t)*128 + m2, m1) rows.  impl 'mxu': one identity dot
+    per frame (exact — operand values are bf16-representable); 'xlu':
+    Mosaic's native (128, 128) transpose (exact at any dtype)."""
     vdt = jnp.float32 if _interpret() else jnp.bfloat16
     ident = ident_ref[...]                       # (P, LANE) f32 eye
     identb = _b(ident)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     for pol in range(npol):
         ui = u_ref[pol, 0].astype(jnp.int32)     # (ffts*P, Q)
         x = ui.astype(jnp.float32)
         if convert:
             x = x * (1.0 / 128.0) - 1.0
             x = jnp.where(ui == 0, 0.0, x)
-        # lane-pad once for the whole block (as chain_second_v2 does)
-        x = jnp.pad(x, ((0, 0), (0, LANE - Q))).astype(vdt)
+        # lane-pad once for the whole block (as chain_second_v2 does);
+        # the xlu path also row-pads so every frame slice is (128, 128)
+        rpad = LANE - P if impl == "xlu" else 0
+        x = jnp.pad(x, ((0, rpad), (0, LANE - Q))).astype(vdt)
         for t in range(ffts):
-            xb = jax.lax.slice(x, (t * P, 0), ((t + 1) * P, LANE))
-            xbb = _b(xb) if _interpret() else xb
-            y = _bdot00(xbb, identb)             # (128, 128) f32 = xb^T
             b = pol * ffts + t
+            if impl == "xlu":
+                xb = jax.lax.slice(x, (t * P, 0),
+                                   (t * P + LANE, LANE))
+                y = jax.lax.transpose(xb, (1, 0)).astype(jnp.float32)
+                # rows beyond this frame leaked in via the 128-row
+                # slice; zero the lanes m1 >= P they transposed into
+                y = jnp.where(lane_iota < P, y, 0.0)
+            else:
+                xb = jax.lax.slice(x, (t * P, 0), ((t + 1) * P, LANE))
+                xbb = _b(xb) if _interpret() else xb
+                y = _bdot00(xbb, identb)         # (128, 128) f32 = xb^T
             out_ref[0, pl.ds(b * LANE, LANE)] = y.astype(out_ref.dtype)
 
 
 def pallas_pretranspose(raw: jax.Array, nfft: int, npol: int,
-                        seg_per_sec: int, out_dtype=jnp.uint8) -> jax.Array:
+                        seg_per_sec: int, out_dtype=jnp.uint8,
+                        impl: str = "mxu") -> jax.Array:
     """(npol, nsamp) uint8 -> (nseg, nb*128, 128) kernel-layout blocks
     via the per-frame MXU identity-dot transpose (see section comment).
 
@@ -221,7 +236,7 @@ def pallas_pretranspose(raw: jax.Array, nfft: int, npol: int,
     convert = out_dtype != jnp.uint8
     return pl.pallas_call(
         functools.partial(_pretranspose_kernel, npol=npol, ffts=ffts,
-                          P=n1, Q=n2, convert=convert),
+                          P=n1, Q=n2, convert=convert, impl=impl),
         grid=(seg_per_sec,),
         in_specs=[
             pl.BlockSpec((npol, 1, ffts * n1, n2),
