@@ -41,6 +41,7 @@ cfgs = {
     "megakernel2": PipelineConfig(chain_impl="megakernel2"),
     "megakernel3": PipelineConfig(chain_impl="megakernel3"),
     "megakernel3f": PipelineConfig(chain_impl="megakernel3f"),
+    "megakernel4": PipelineConfig(chain_impl="megakernel4"),
 }
 only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 if only:
@@ -71,7 +72,8 @@ for name, cfg in cfgs.items():
     print(f"{name}: {ms:.1f} ms/data-s  checksum {chk}", flush=True)
 
 # ---- on-device 2-bit agreement ----------------------------------------
-for which in ("megakernel", "megakernel2", "megakernel3", "megakernel3f"):
+for which in ("megakernel", "megakernel2", "megakernel3", "megakernel3f",
+              "megakernel4"):
     if which not in results:
         continue
     om = results[which][1]

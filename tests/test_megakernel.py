@@ -314,3 +314,56 @@ def test_chain_second_pallas_pretranspose_byte_exact():
         got = mk.chain_second(*args, pretranspose=mode)
         for r, g in zip(ref, got):
             assert np.array_equal(np.asarray(r), np.asarray(g)), mode
+
+
+def test_v4_dual_stream_parity():
+    """chain_second_v4 (both stages batched, XLU bridge) vs v1 and v2:
+    identical products — packed agreement ~1, weights/dag/bp tight."""
+    from vlite_fast_tpu.models import synthesis
+    cfg = PipelineConfig(
+        sample_rate=SEG_SAMPS * NSEG, seg_per_sec=NSEG, nfft=NFFT,
+        nkurto=256, chanmin=101, chanmax=612, nscrunch=8,
+        rfi_mode=2, ema_impl="scan", rfi_impl="xla",
+        front_layout="flat", dft_exact_input=True)
+    raw = synthesis.white_noise_uint8(cfg.sample_rate, seed=9)
+    t = np.arange(3000)
+    raw = raw.astype(np.int16)
+    raw[0, 40000:43000] += (60 * np.sin(0.3 * t)).astype(np.int16)
+    raw = np.clip(raw, 0, 255).astype(np.uint8)
+    raw = jnp.asarray(raw)
+    args = (NFFT, 2, NSEG, cfg.nscrunch, cfg.nkurto, 2,
+            float(cfg.bp_scale), float(cfg.dag_thresh),
+            float(cfg.dag_fb_thresh))
+
+    bp1 = mk.bp_to_factored(jnp.zeros((4, cfg.nchan), jnp.float32), NFFT)
+    p1, k1, w1, d1, b1 = mk.chain_second(raw, bp1, *args)
+    bp2 = mk.bp_to_factored_v2(jnp.zeros((4, cfg.nchan), jnp.float32),
+                               NFFT)
+    p2, k2, w2, d2, b2 = mk.chain_second_v2(raw, bp2, *args)
+    for pre_dtype in ("u8", "bf16"):
+        p4, k4, w4, d4, b4 = mk.chain_second_v4(
+            raw, bp2, *args, pre_dtype=pre_dtype, pre_impl="xlu")
+        assert np.array_equal(np.asarray(w2), np.asarray(w4))
+        assert np.allclose(np.asarray(d2), np.asarray(d4), atol=1e-6)
+        # packed planes: v4 shares v2's layout; products identical,
+        # accumulation grouping differs only inside dots
+        for a, b in ((p2, p4), (k2, k4)):
+            la = np.asarray(q_ops.unpack_bits(
+                mk.unfactor_pack_realign_v2(a, NFFT, cfg.chanmin,
+                                            cfg.chanmax), 2))
+            lb = np.asarray(q_ops.unpack_bits(
+                mk.unfactor_pack_realign_v2(b, NFFT, cfg.chanmin,
+                                            cfg.chanmax), 2))
+            assert (la == lb).mean() > 0.9999, pre_dtype
+        bl2 = np.asarray(mk.bp_from_factored_v2(b2, NFFT, cfg.nchan))
+        bl4 = np.asarray(mk.bp_from_factored_v2(b4, NFFT, cfg.nchan))
+        rel = np.abs(bl2 - bl4) / np.maximum(np.abs(bl2), 1e-6)
+        assert rel.max() < 1e-3, pre_dtype
+        # and against v1 through the byte realign path
+        lv1 = np.asarray(q_ops.unpack_bits(
+            mk.unfactor_pack_realign(p1, NFFT, cfg.chanmin,
+                                     cfg.chanmax), 2))
+        lv4 = np.asarray(q_ops.unpack_bits(
+            mk.unfactor_pack_realign_v2(p4, NFFT, cfg.chanmin,
+                                        cfg.chanmax), 2))
+        assert (lv1 == lv4).mean() > 0.9999, pre_dtype

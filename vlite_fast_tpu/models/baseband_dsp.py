@@ -466,10 +466,14 @@ def _megakernel_second(cfg: PipelineConfig, raw_second: jax.Array,
     the carried state is converted to/from the kernel's factored
     bandpass layout per call (tiny (npol, nchan) ops)."""
     from vlite_fast_tpu.ops import megakernel as mk
-    v2 = cfg.chain_impl == "megakernel2"
+    v2 = cfg.chain_impl in ("megakernel2", "megakernel4")
     to_fact = mk.bp_to_factored_v2 if v2 else mk.bp_to_factored
     from_fact = mk.bp_from_factored_v2 if v2 else mk.bp_from_factored
-    if v2:
+    if cfg.chain_impl == "megakernel4":
+        # both-stages-batched kernel (v2 layouts, Pallas relayout in)
+        chain = partial(mk.chain_second_v4, pre_dtype="u8",
+                        pre_impl="xlu")
+    elif v2:
         chain = mk.chain_second_v2
     elif cfg.chain_impl in ("megakernel3", "megakernel3f"):
         # pretransposed-layout kernel fed by the Pallas MXU relayout
@@ -531,7 +535,7 @@ def process_second(cfg: PipelineConfig, raw_second: jax.Array,
     programs keep the XLA chain via the host gate).
     """
     if cfg.chain_impl in ("megakernel", "megakernel2", "megakernel3",
-                          "megakernel3f"):
+                          "megakernel3f", "megakernel4"):
         if not megakernel_supported(cfg):
             raise ValueError(
                 f"chain_impl={cfg.chain_impl!r} unsupported for this "

@@ -1693,6 +1693,438 @@ def chain_second_v2(raw: jax.Array, bp_fact: jax.Array, nfft: int,
     return pp, kk, w, dag3[:, 0, :1], bp_new
 
 
+# ---------------------------------------------------------------------------
+# v4: both MXU stages batched (round 5b) — per-frame work becomes
+# per-plane XLU transposes
+# ---------------------------------------------------------------------------
+#
+# v1 batches stage 1 (one (nb*128, 128) dot) but pays 6 small dots per
+# b-block in stage 2; v2 batches stage 2 but pays 4 per-frame dots in
+# stage 1 (the measured ~30 ms/data-s floor).  The missing piece is a
+# LAYOUT BRIDGE between the two batched stages: stage 1's output rows
+# are (b, m2) with k1 on lanes, stage 2 wants rows (b, k1) with m2 on
+# lanes — a per-b (128, 128) transpose.  Mosaic lowers lax.transpose of
+# an f32 (128, 128) tile natively (no MXU pass, exact at f32 — unlike
+# an identity-dot route, which would need hi/lo pairs to stay exact and
+# would tie the cost it displaces).  So:
+#
+#   stage 1: ONE (nb*128, 128) @ (128, 512) dot per stream (the four
+#            bf16 passes lane-concatenated, exactly v1's products);
+#   bridge : 2 XLU transposes per b per stream (ar, ai);
+#   stage 2 + EMA/scrunch/quantize/pack: chain_second_v2's batched code
+#            verbatim (identical layouts from here on).
+#
+# Input is the kernel layout from pallas_pretranspose (u8 or bf16) —
+# no XLA prologue.  Outputs are v2-layout planes (the v2 helpers
+# apply).  Ref: same role as above (src/process_baseband.cu:1108-1360).
+
+
+def _full_kernel_v4(u_ref, w1cols_ref, twrt_ref, twit_ref,
+                    w2ch_ref, w2cl_ref, packm_ref, g4_ref, e_ref,
+                    bp_in_ref,
+                    outp_ref, outk_ref, w_ref, dag_ref, bp_out_ref,
+                    sra_scr, sia_scr, srb_scr, sib_scr,
+                    pwra_scr, pwrb_scr, bp_scr, w_scr, *,
+                    nb: int, npol: int, nscrunch: int, nseg: int,
+                    nw: int, rfi_mode: int, scale: float,
+                    q0: float, q1: float, q2: float,
+                    dag_thresh: float, dag_fb_thresh: float,
+                    dag_inf: float, kf: dict, kb: dict,
+                    clip_ratio: float, clip_value: float,
+                    min_weight: float, debug_stop: int = 99):
+    """One segment: v1 front + XLU bridge + v2 back (section comment).
+
+    debug_stop (perf triage): 1 = stop after stage 1 + bridge, 2 = stop
+    after stage 2 — downstream outputs left unwritten (garbage)."""
+    from vlite_fast_tpu.ops.rfi_pallas import _ts
+
+    i = pl.program_id(0)
+    tpp = nb // npol
+    nout = tpp // nscrunch
+    has_plain = rfi_mode != 1
+    has_kur = rfi_mode != 0
+    half = LANE // 2
+
+    # ---- phase 0: convert (or accept pre-converted bf16 voltages) ----
+    if u_ref.dtype == jnp.uint8:
+        ui = u_ref[0].astype(jnp.int32)
+        x = ui.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+        x = jnp.where(ui == 0, 0.0, x)
+    else:
+        x = u_ref[0].astype(jnp.float32)
+
+    # ---- RFI front: identical to _full_kernel (v1 layout) ------------
+    if has_kur:
+        x2 = x * x
+        s2 = x2.reshape(nb, LANE, LANE).sum(axis=1)        # (nb, 128)
+        s4 = (x2 * x2).reshape(nb, LANE, LANE).sum(axis=1)
+        g4 = g4_ref[...]
+        inv_n = jnp.float32(1.0 / kf["n"])
+        m2 = _hdot(s2, g4) * inv_n                         # (nb, 32)
+        m4 = _hdot(s4, g4) * inv_n
+        kur = jnp.where(m2 == 0.0, 0.0,
+                        m4 / jnp.where(m2 == 0.0, 1.0, m2 * m2))
+        ts = _ts(kur, kf, dag_inf)
+        dag = jnp.maximum(ts, pltpu.roll(ts, tpp, 0)) if npol == 2 else ts
+        fine_good = dag < dag_thresh
+        lane_ok = jax.lax.broadcasted_iota(jnp.int32, (nb, 32), 1) < nw
+        fine_good = jnp.logical_and(fine_good, lane_ok)
+        if dag_fb_thresh > 0:
+            wt = fine_good.astype(jnp.float32)
+            wsum = jnp.sum(wt, axis=1, keepdims=True)      # (nb, 1)
+            psum = jnp.sum(wt * m2, axis=1, keepdims=True)
+            qsum = jnp.sum(wt * kur * m2 * m2, axis=1, keepdims=True)
+            good_b = wsum > 0
+            pblk = jnp.where(good_b,
+                             psum / jnp.where(good_b, wsum, 1.0), 0.0)
+            kblk = jnp.where(good_b,
+                             qsum / jnp.where(good_b, wsum, 1.0)
+                             / jnp.where(good_b, pblk * pblk, 1.0), 0.0)
+            tsb = _ts(kblk, kb, dag_inf)
+            dfb = jnp.maximum(tsb, pltpu.roll(tsb, tpp, 0)) \
+                if npol == 2 else tsb
+            gate = jnp.logical_and(fine_good, dfb < dag_fb_thresh)
+        else:
+            gate = fine_good
+        g = gate.astype(jnp.float32)
+        w_col = jnp.sum(g, axis=1, keepdims=True) * (1.0 / nw)
+        w_scr[...] = w_col
+        w_ref[0] = w_col
+        dflag = jnp.where(lane_ok,
+                          (dag >= dag_thresh).astype(jnp.float32), 0.0)
+        dfrac = jnp.sum(
+            jnp.sum(dflag, axis=1, keepdims=True), axis=0,
+            keepdims=True) * (1.0 / (nw * nb))
+        dag_ref[...] = jnp.broadcast_to(dfrac[None], (1, 1, LANE))
+        gm = _hdot(g, e_ref[...])                          # (nb, 128)
+        mask = jnp.broadcast_to(gm[:, None, :],
+                                (nb, LANE, LANE)).reshape(nb * LANE, LANE)
+        x_kur = x * mask
+    else:
+        w_ref[0] = jnp.ones((nb, 1), jnp.float32)
+        dag_ref[...] = jnp.zeros((1, 1, LANE), jnp.float32)
+
+    # ---- stage 1 (one dot/stream) + XLU bridge into v2 layout --------
+    w1cols = _b(w1cols_ref[...])                 # (128, 512)
+
+    def stage1_t(xs_, sr_scr, si_scr):
+        z = _bdot(_b(xs_), w1cols)               # (nb*128, 512)
+        ar = jax.lax.slice(z, (0, 0), (nb * LANE, LANE)) \
+            + jax.lax.slice(z, (0, LANE), (nb * LANE, 2 * LANE))
+        ai = jax.lax.slice(z, (0, 2 * LANE), (nb * LANE, 3 * LANE)) \
+            + jax.lax.slice(z, (0, 3 * LANE), (nb * LANE, 4 * LANE))
+        for b in range(nb):
+            ab = jax.lax.slice(ar, (b * LANE, 0), ((b + 1) * LANE, LANE))
+            sr_scr[pl.ds(b * LANE, LANE)] = jax.lax.transpose(ab, (1, 0))
+            ab = jax.lax.slice(ai, (b * LANE, 0), ((b + 1) * LANE, LANE))
+            si_scr[pl.ds(b * LANE, LANE)] = jax.lax.transpose(ab, (1, 0))
+
+    if has_plain:
+        stage1_t(x, sra_scr, sia_scr)
+    if has_kur:
+        stage1_t(x_kur, srb_scr, sib_scr)
+
+    if debug_stop < 2:
+        return
+    # ---- stage 2 + detect: chain_second_v2's batched code ------------
+    w2ch = _b(w2ch_ref[...])
+    w2cl = _b(w2cl_ref[...])
+    sgn = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (nb * LANE, LANE), 1) < half,
+        jnp.float32(-1.0), jnp.float32(1.0))
+    twr_t = twrt_ref[...]
+    twi_t = twit_ref[...]
+
+    def stage2(sr_scr, si_scr, pwr_scr):
+        ar = sr_scr[...]
+        ai = si_scr[...]
+        sr = ar * twr_t - ai * twi_t
+        si = ar * twi_t + ai * twr_t
+        rh, rl = _split(sr)
+        ih, il = _split(si)
+        A = _bdot(rh, w2ch) + _bdot(rh, w2cl) + _bdot(rl, w2ch)
+        B = _bdot(ih, w2ch) + _bdot(ih, w2cl) + _bdot(il, w2ch)
+        z = A + sgn * pltpu.roll(B, half, 1)
+        z = z * z
+        z = z + pltpu.roll(z, half, 1)
+        p = jax.lax.slice(z, (0, 0), (nb * LANE, half))
+        pwr_scr[...] = p.reshape(nb, LANE, half)
+
+    if has_plain:
+        stage2(sra_scr, sia_scr, pwra_scr)
+    if has_kur:
+        stage2(srb_scr, sib_scr, pwrb_scr)
+
+    if debug_stop < 3:
+        return
+    # ---- EMA + scrunches + quantize + pack: v2's code verbatim -------
+    packm = packm_ref[...]
+    rs = jnp.float32(1.0 / np.sqrt(nscrunch))
+    ps = jnp.float32(np.sqrt(0.5))
+
+    def quant_pack(ts_plane):
+        lev = ((ts_plane >= q0).astype(jnp.float32)
+               + (ts_plane >= q1).astype(jnp.float32)
+               + (ts_plane >= q2).astype(jnp.float32))
+        return jax.lax.dot_general(
+            packm, lev, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (32, 64)
+
+    def load_bp(slot):
+        carried = bp_scr[pl.ds(slot, 1)][0]
+        fresh = bp_in_ref[pl.ds(slot, 1)][0]
+        return jnp.where(i == 0, fresh, carried)
+
+    if has_plain:
+        def seg_mean(p):
+            def body(t, acc):
+                return acc + pwra_scr[pl.ds(p * tpp + t, 1)][0]
+            s = jax.lax.fori_loop(
+                0, tpp, body, jnp.zeros((LANE, half), jnp.float32))
+            return s * (1.0 / tpp)
+
+        def bp_for(p):
+            bp = load_bp(p)
+            seed = seg_mean(p)
+            seed = jnp.where(seed == 0.0, 1.0, seed)
+            return jnp.where(bp == 0.0, seed, bp)
+
+        bp0 = bp_for(0)
+        bp1 = bp_for(1) if npol == 2 else bp0
+
+        def out_body(o, carry):
+            b0, b1 = carry
+
+            def sub(t, c):
+                b0, b1, acc = c
+                tt = o * nscrunch + t
+                p0 = pwra_scr[pl.ds(tt, 1)][0]
+                b0n = scale * p0 + (1.0 - scale) * b0
+                v = p0 / b0n - 1.0
+                if npol == 2:
+                    p1 = pwra_scr[pl.ds(tpp + tt, 1)][0]
+                    b1n = scale * p1 + (1.0 - scale) * b1
+                    v = ps * (v + (p1 / b1n - 1.0))
+                else:
+                    b1n = b1
+                return b0n, b1n, acc + v
+
+            b0, b1, acc = jax.lax.fori_loop(
+                0, nscrunch, sub,
+                (b0, b1, jnp.zeros((LANE, half), jnp.float32)))
+            outp_ref[0, pl.ds(o, 1)] = quant_pack(acc * rs)[None]
+            return b0, b1
+
+        bp0, bp1 = jax.lax.fori_loop(0, nout, out_body, (bp0, bp1))
+        bp_scr[pl.ds(0, 1)] = bp0[None]
+        if npol == 2:
+            bp_scr[pl.ds(1, 1)] = bp1[None]
+
+    if has_kur:
+        koff = npol
+
+        def kseed(p):
+            def body(t, c):
+                s, ng = c
+                w = w_scr[pl.ds(p * tpp + t, 1)]
+                gsc = (w > 0.0).astype(jnp.float32)
+                inv = jnp.where(w > 0.0,
+                                1.0 / jnp.where(w > 0.0, w, 1.0), 0.0)
+                pw = pwrb_scr[pl.ds(p * tpp + t, 1)][0] * _bcpf(inv, LANE)
+                return s + pw, ng + gsc
+            s, ng = jax.lax.fori_loop(
+                0, tpp, body,
+                (jnp.zeros((LANE, half), jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32)))
+            seed = jnp.where(_bcpb(ng > 0, LANE),
+                             s * _bcpf(1.0 / jnp.maximum(ng, 1.0), LANE),
+                             1.0)
+            return seed, ng
+
+        def kbp_for(p):
+            bp = load_bp(koff + p)
+            seed, ng = kseed(p)
+            bp = jnp.where(bp == 0.0, seed, bp)
+            stale = jnp.logical_and(
+                _bcpb(ng > 0, LANE),
+                jnp.logical_or(seed > 5.0 * bp, seed < 0.2 * bp))
+            return jnp.where(stale, seed, bp)
+
+        kb0 = kbp_for(0)
+        kb1 = kbp_for(1) if npol == 2 else kb0
+
+        def kema_step(bp, p, w):
+            gok = w > 0.0
+            inv = jnp.where(gok, 1.0 / jnp.where(gok, w, 1.0), 0.0)
+            gokp = _bcpb(gok, LANE)
+            pw = p * _bcpf(inv, LANE)
+            clipped = pw > clip_ratio * bp
+            update = jnp.logical_and(gokp, jnp.logical_not(clipped))
+            bpn = jnp.where(update, scale * pw + (1.0 - scale) * bp, bp)
+            v = jnp.where(gokp,
+                          jnp.where(clipped, clip_value, pw / bpn - 1.0),
+                          0.0)
+            return bpn, v
+
+        def kout_body(o, carry):
+            b0, b1 = carry
+
+            def sub(t, c):
+                b0, b1, acc, cnt, wsum = c
+                tt = o * nscrunch + t
+                w0 = w_scr[pl.ds(tt, 1)]
+                b0n, v0 = kema_step(b0, pwrb_scr[pl.ds(tt, 1)][0], w0)
+                if npol == 2:
+                    w1 = w_scr[pl.ds(tpp + tt, 1)]
+                    b1n, v1 = kema_step(b1,
+                                        pwrb_scr[pl.ds(tpp + tt, 1)][0],
+                                        w1)
+                    g0 = w0 >= min_weight
+                    g1 = w1 >= min_weight
+                    both = jnp.logical_and(g0, g1)
+                    v = jnp.where(_bcpb(both, LANE), ps * (v0 + v1),
+                                  v0 * _bcpf(g0.astype(jnp.float32), LANE)
+                                  + v1 * _bcpf(g1.astype(jnp.float32),
+                                               LANE))
+                    wp = jnp.where(both, 0.5 * (w0 + w1),
+                                   w0 * g0.astype(jnp.float32)
+                                   + w1 * g1.astype(jnp.float32))
+                else:
+                    b1n, v, wp = b1, v0, w0
+                gt = (wp >= min_weight).astype(jnp.float32)
+                wg = wp * gt
+                return (b0n, b1n, acc + _bcpf(wg, LANE) * v, cnt + gt,
+                        wsum + wg)
+
+            z = jnp.zeros((1, 1), jnp.float32)
+            b0, b1, acc, cnt, wsum = jax.lax.fori_loop(
+                0, nscrunch, sub,
+                (b0, b1, jnp.zeros((LANE, half), jnp.float32), z, z))
+            ok = (wsum * (1.0 / nscrunch)) >= min_weight
+            ts_plane = jnp.where(
+                _bcpb(ok, LANE),
+                acc * _bcpf(1.0 / jnp.sqrt(jnp.maximum(cnt, 1.0)), LANE),
+                0.0)
+            outk_ref[0, pl.ds(o, 1)] = quant_pack(ts_plane)[None]
+            return b0, b1
+
+        kb0, kb1 = jax.lax.fori_loop(0, nout, kout_body, (kb0, kb1))
+        bp_scr[pl.ds(koff, 1)] = kb0[None]
+        if npol == 2:
+            bp_scr[pl.ds(koff + 1, 1)] = kb1[None]
+
+    @pl.when(i == nseg - 1)
+    def _():
+        bp_out_ref[...] = bp_scr[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nfft", "npol", "seg_per_sec", "nscrunch", "nkurto", "rfi_mode",
+    "scale", "dag_thresh", "dag_fb_thresh", "pre_dtype", "pre_impl",
+    "debug_stop"))
+def chain_second_v4(raw: jax.Array, bp_fact: jax.Array, nfft: int,
+                    npol: int, seg_per_sec: int, nscrunch: int,
+                    nkurto: int, rfi_mode: int, scale: float,
+                    dag_thresh: float, dag_fb_thresh: float,
+                    pre_dtype: str = "u8", pre_impl: str = "mxu",
+                    debug_stop: int = 99):
+    """Both-stages-batched megakernel (see section comment).
+
+    Same contract as chain_second_v2 (v2-layout bp_fact and outputs);
+    input relayout via pallas_pretranspose (pre_dtype 'u8'|'bf16',
+    pre_impl 'mxu'|'xlu').  Parity bar vs v1/v2: identical products,
+    f32 accumulation grouping differs only inside dots (2-bit packed
+    agreement ~1; weights/dag exact).
+    """
+    from vlite_fast_tpu import constants as C
+    npol_, nsamp = raw.shape
+    seg_samps = nsamp // seg_per_sec
+    ffts = seg_samps // nfft
+    nb = npol * ffts
+    nout = ffts // nscrunch
+    pl1 = dft_planes(nfft, nb)
+    n1, n2 = pl1.n1, pl1.n2
+    if nkurto % n2 or nfft % nkurto:
+        raise ValueError("megakernel4 needs nkurto % n2 == 0")
+    rw = nkurto // n2
+    nw = n1 // rw
+    g4m, em = _group_matrices(n1, rw)
+    kf = dict(C.dagostino_constants(nkurto))
+    kf["n"] = float(nkurto)
+    kb = dict(C.dagostino_constants(nfft))
+    pl2 = dft_planes_v2(nfft)
+    w1cols = np.concatenate([pl1.w1r_hi, pl1.w1r_lo,
+                             pl1.w1i_hi, pl1.w1i_lo], axis=1)
+    packm = np.ascontiguousarray(_pack_matrix(n1).T)       # (32, 128)
+    odt = jnp.bfloat16 if pre_dtype == "bf16" else jnp.uint8
+    xs = pallas_pretranspose(raw, nfft, npol, seg_per_sec,
+                             out_dtype=odt, impl=pre_impl)
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    q0, q1, q2 = C.QUANT2_THRESH
+    half = LANE // 2
+    outs = pl.pallas_call(
+        functools.partial(
+            _full_kernel_v4, nb=nb, npol=npol, nscrunch=nscrunch,
+            nseg=seg_per_sec, nw=nw, rfi_mode=rfi_mode,
+            scale=float(scale), q0=float(q0), q1=float(q1), q2=float(q2),
+            dag_thresh=float(dag_thresh),
+            dag_fb_thresh=float(dag_fb_thresh),
+            dag_inf=float(C.DAG_INF), kf=kf, kb=kb,
+            clip_ratio=float(C.BP_CLIP_RATIO),
+            clip_value=float(C.BP_CLIP_VALUE),
+            min_weight=float(C.MIN_WEIGHT), debug_stop=debug_stop),
+        grid=(seg_per_sec,),
+        in_specs=[
+            pl.BlockSpec((1, nb * LANE, LANE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((LANE, 4 * LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((nb * LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((LANE, LANE), const),
+            pl.BlockSpec((32, LANE), const),
+            pl.BlockSpec((LANE, 32), const),
+            pl.BlockSpec((32, LANE), const),
+            pl.BlockSpec((2 * npol, LANE, half), const3),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nout, 32, half), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nout, 32, half), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2 * npol, LANE, half), const3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_per_sec, nout, 32, half),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, nout, 32, half),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((seg_per_sec, 1, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((2 * npol, LANE, half), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # sr plain
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # si plain
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # sr kur
+            pltpu.VMEM((nb * LANE, LANE), jnp.float32),   # si kur
+            pltpu.VMEM((nb, LANE, half), jnp.float32),    # pwr plain
+            pltpu.VMEM((nb, LANE, half), jnp.float32),    # pwr kur
+            pltpu.VMEM((2 * npol, LANE, half), jnp.float32),
+            pltpu.VMEM((nb, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(xs, jnp.asarray(w1cols),
+      jnp.asarray(np.tile(pl2.twr, (nb, 1))),
+      jnp.asarray(np.tile(pl2.twi, (nb, 1))),
+      jnp.asarray(pl2.w2c_hi), jnp.asarray(pl2.w2c_lo),
+      jnp.asarray(packm), jnp.asarray(g4m), jnp.asarray(em), bp_fact)
+    pp, kk, w, dag3, bp_new = outs
+    return pp, kk, w, dag3[:, 0, :1], bp_new
+
+
 def bp_to_factored_v2(bp: jax.Array, nfft: int) -> jax.Array:
     """(npol, nchan) -> (npol, 128, 64) [kA, kB] plane: the transpose
     of bp_to_factored's [kB, kA] plane (identical channel mapping
