@@ -212,6 +212,9 @@ def _pretranspose_kernel(u_ref, ident_ref, out_ref, *, npol: int,
                 xb = jax.lax.slice(x, (t * P, 0), ((t + 1) * P, LANE))
                 xbb = _b(xb) if _interpret() else xb
                 y = _bdot00(xbb, identb)         # (128, 128) f32 = xb^T
+            if out_ref.dtype == jnp.uint8:
+                # Mosaic has no f32->u8 cast; the i32 hop is supported
+                y = y.astype(jnp.int32)
             out_ref[0, pl.ds(b * LANE, LANE)] = y.astype(out_ref.dtype)
 
 
